@@ -1,0 +1,309 @@
+"""Exact calibration of the Turner-2004 tables against the reference's
+frozen corpus.
+
+The reference ships ~11.5k unique (sequence, structure, energy) triples
+whose energies are exact integer dekacal values (see tools/corpus.py).
+Every structure's energy is an integer linear combination of table
+entries (rafft_tpu.energy.features), so the corpus defines an *exact*
+sparse integer linear system   A @ theta = b.
+
+We anchor the firmly-published parameters (stacks, loop-length
+initiations, multiloop affine terms, terminal-AU, Ninio) and solve for
+everything else (mismatch tables, dangles, 1x1/2x1/2x2 loops, special
+hairpin totals) by ridge-regularised LSQR toward the literature priors,
+followed by integer rounding and exact coordinate-descent refinement.
+The result is emitted as rafft_tpu/energy/_calibrated.py.
+
+Run:  python tools/calibrate_energy.py
+"""
+
+from __future__ import annotations
+
+import sys
+import os
+from collections import Counter, defaultdict
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.corpus import load_corpus
+from rafft_tpu.energy.features import featurize, value_of
+from rafft_tpu.energy.params import get_params, encode_sequence
+from rafft_tpu.energy._turner2004 import PAIR_TYPE
+
+# parameters we trust from the literature and hold fixed.  MLi/MLu must stay
+# fixed (each multiloop stem pairs them 1:1 with a free mismatch entry —
+# exact collinearity); TAU and stack anchor the gauge.  MLc=930/MLi=-90 and
+# NINIO m=60/max=300 were themselves confirmed by freeing them in an earlier
+# fit (exact L1=0 over the whole corpus).
+FIXED_KINDS = {"stack", "TAU", "MLc", "MLi", "MLu", "NINIO",
+               "hairpin", "bulge", "internal"}
+
+# length-table entries whose corpus support is too weak/contaminated to
+# anchor — left free despite their kind being fixed
+FREE_KEYS = {("hairpin", 27), ("hairpin", 29), ("internal", 29),
+             ("bulge", 19), ("bulge", 20), ("bulge", 27), ("bulge", 30)}
+
+
+def _is_fixed(k):
+    return k[0] in FIXED_KINDS and k not in FREE_KEYS
+
+
+def build_system(corpus, params):
+    rows, cols, vals, b = [], [], [], []
+    key_index: dict[tuple, int] = {}
+    keys: list[tuple] = []
+    feats_per_obs = []
+    for oi, (seq, st, e) in enumerate(corpus):
+        feats, offset = featurize(seq, st, params, specials_as_params=True)
+        rhs = e - offset
+        free = {}
+        for k, c in feats.items():
+            if _is_fixed(k):
+                rhs -= c * value_of(k, params)
+            else:
+                free[k] = c
+        for k, c in free.items():
+            if k not in key_index:
+                key_index[k] = len(keys)
+                keys.append(k)
+            rows.append(oi)
+            cols.append(key_index[k])
+            vals.append(c)
+        b.append(rhs)
+        feats_per_obs.append(free)
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(len(corpus), len(keys)), dtype=np.float64)
+    return A, np.array(b, dtype=np.float64), keys, key_index, feats_per_obs
+
+
+def prior_vector(keys, params):
+    th = np.zeros(len(keys))
+    for i, k in enumerate(keys):
+        th[i] = value_of(k, params)
+    return th
+
+
+def coordinate_refine(A_csc, b, theta, max_rounds=60):
+    """Integer coordinate descent on L1 residual. A_csc: column-slicable."""
+    theta = theta.astype(np.int64).copy()
+    resid = b - A_csc @ theta
+    n_keys = A_csc.shape[1]
+    indptr, indices, data = A_csc.indptr, A_csc.indices, A_csc.data
+    for rnd in range(max_rounds):
+        changed = 0
+        # visit keys touching the largest residual mass first
+        key_mass = np.zeros(n_keys)
+        nz = resid != 0
+        if not nz.any():
+            break
+        AT_mask = A_csc.T @ nz.astype(np.float64)
+        order = np.argsort(-AT_mask)
+        for j in order:
+            if AT_mask[j] == 0:
+                continue
+            sl = slice(indptr[j], indptr[j + 1])
+            r_rows = indices[sl]
+            c = data[sl]
+            r = resid[r_rows]
+            if not (r != 0).any() or not (c != 0).all():
+                continue
+            # candidate integer deltas: weighted median of r/c and neighbours
+            ratios = r / c
+            med = np.median(ratios)
+            best_delta, best_gain = 0, 0.0
+            cur = np.abs(r).sum()
+            for d in {int(np.floor(med)), int(np.ceil(med)), int(round(med))}:
+                if d == 0:
+                    continue
+                new = np.abs(r - c * d).sum()
+                gain = cur - new
+                if gain > best_gain:
+                    best_gain, best_delta = gain, d
+            if best_delta != 0:
+                theta[j] += best_delta
+                resid[r_rows] = resid[r_rows] - c * best_delta
+                changed += 1
+        exact = int((resid == 0).sum())
+        print(f"  round {rnd}: {changed} keys changed, exact rows {exact}/{len(b)}, "
+              f"L1 {np.abs(resid).sum():.0f}")
+        if changed == 0:
+            break
+    return theta, resid
+
+
+def main(out_path="rafft_tpu/energy/_calibrated.py", corpus=None):
+    params = get_params()
+    corpus = corpus or load_corpus()
+    print(f"corpus: {len(corpus)} triples")
+    A, b, keys, key_index, _ = build_system(corpus, params)
+    print(f"system: {A.shape[0]} obs x {A.shape[1]} free keys, nnz {A.nnz}")
+
+    th0 = prior_vector(keys, params)
+    r0 = b - A @ th0
+    print(f"prior: exact rows {(r0 == 0).sum()}, L1 {np.abs(r0).sum():.0f}")
+
+    A_csc = A.tocsc()
+    theta = np.round(th0).astype(np.int64)
+    # alternate real-valued LSQR refits with integer rounding + coordinate
+    # descent; the system is exactly consistent, so this converges to L1=0
+    for outer in range(8):
+        resid = (b - A_csc @ theta).astype(np.float64)
+        if not resid.any():
+            break
+        sol = spla.lsqr(A, resid, damp=1e-4 if outer else 0.03,
+                        atol=1e-14, btol=1e-14, iter_lim=20000)
+        theta = np.round(theta + sol[0]).astype(np.int64)
+        r1 = b - A_csc @ theta
+        print(f"outer {outer} lsqr+round: exact rows {(r1 == 0).sum()}, "
+              f"L1 {np.abs(r1).sum():.0f}")
+        theta, resid = coordinate_refine(A_csc, b, theta)
+        if not resid.any():
+            break
+
+    exact_rows = int((resid == 0).sum())
+    print(f"final: exact rows {exact_rows}/{len(b)}")
+
+    # column support: how many observations touch each key
+    support = np.diff(A_csc.indptr)
+
+    emit(out_path, keys, theta, support, params, resid, A_csc, corpus)
+    return exact_rows, len(b)
+
+
+def emit(out_path, keys, theta, support, params, resid, A_csc, corpus):
+    """Write _calibrated.py: table overrides + derived special-hairpin sets."""
+    overrides = {}
+    tetra, tri, hexa = {}, {}, {}
+    ninio_fit = {}
+    n_special_generic = 0
+    for i, k in enumerate(keys):
+        v = int(theta[i])
+        kind = k[0]
+        if kind == "NINIO":
+            ninio_fit[k[1]] = v
+            continue
+        if kind in ("tri", "tetra", "hexa"):
+            loopstr = k[1]
+            # generic prediction using the *fitted* mismatch table
+            s = encode_sequence(loopstr)
+            t = PAIR_TYPE[s[0], s[-1]]
+            t = 7 if t == 0 else int(t)
+            if kind == "tri":
+                gen = int(params.hairpin[3]) + (params.terminal_au if t > 2 else 0)
+            else:
+                size = 4 if kind == "tetra" else 6
+                mk = ("mmh", t, int(s[1]), int(s[-2]))
+                mv = overrides.get(mk)
+                if mv is None:
+                    mv = value_of(mk, params)
+                gen = int(params.hairpin[size]) + mv
+            if v == gen:
+                n_special_generic += 1
+                continue
+            {"tri": tri, "tetra": tetra, "hexa": hexa}[kind][loopstr] = v
+        else:
+            if v != value_of(k, params):
+                overrides[k] = v
+    # second pass: mmh overrides may postdate special checks; redo specials
+    # deterministically with final mmh values
+    tetra2, tri2, hexa2 = {}, {}, {}
+    for i, k in enumerate(keys):
+        if k[0] not in ("tri", "tetra", "hexa"):
+            continue
+        v = int(theta[i])
+        loopstr = k[1]
+        s = encode_sequence(loopstr)
+        t = PAIR_TYPE[s[0], s[-1]]
+        t = 7 if t == 0 else int(t)
+        if k[0] == "tri":
+            gen = int(params.hairpin[3]) + (params.terminal_au if t > 2 else 0)
+            if v != gen:
+                tri2[loopstr] = v
+        else:
+            size = 4 if k[0] == "tetra" else 6
+            mk = ("mmh", t, int(s[1]), int(s[-2]))
+            mv = overrides.get(mk, value_of(mk, params))
+            gen = int(params.hairpin[size]) + mv
+            if v != gen:
+                {"tetra": tetra2, "hexa": hexa2}[k[0]][loopstr] = v
+
+    # recover ninio slope/cap from per-asymmetry fits: min(max, m*d)
+    ninio_m, ninio_max = params.ninio_m, params.ninio_max
+    if ninio_fit:
+        if 1 in ninio_fit:
+            ninio_m = ninio_fit[1]
+        big = [v for d, v in ninio_fit.items() if d * ninio_m > max(v, 1)]
+        if big:
+            ninio_max = int(np.median(big))
+        mism = {d: v for d, v in ninio_fit.items() if v != min(ninio_max, ninio_m * d)}
+        print(f"ninio fit: m={ninio_m} max={ninio_max}; "
+              f"{len(mism)} asymmetries off-model: {mism}")
+
+    lines = [
+        '"""Auto-generated by tools/calibrate_energy.py — exact integer table',
+        'corrections recovered from the reference benchmark corpus.  Do not',
+        'edit by hand; re-run the calibration instead."""',
+        "",
+        f"NINIO_M = {ninio_m}",
+        f"NINIO_MAX = {ninio_max}",
+        "",
+        "OVERRIDES = {",
+    ]
+    for k in sorted(overrides, key=repr):
+        lines.append(f"    {k!r}: {overrides[k]},")
+    lines.append("}")
+    lines.append("")
+    lines.append(f"TETRALOOPS = {dict(sorted(tetra2.items()))!r}")
+    lines.append(f"TRILOOPS = {dict(sorted(tri2.items()))!r}")
+    lines.append(f"HEXALOOPS = {dict(sorted(hexa2.items()))!r}")
+    lines.append("")
+    lines.append(_APPLY_SRC)
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"emitted {out_path}: {len(overrides)} overrides, "
+          f"{len(tetra2)} tetraloops, {len(tri2)} triloops, {len(hexa2)} hexaloops "
+          f"({n_special_generic} special-sized loops matched the generic model)")
+
+
+_APPLY_SRC = '''
+_TABLE_OF = {
+    "mmh": "mismatch_h", "mmi": "mismatch_i", "mm1n": "mismatch_1n",
+    "mm23": "mismatch_23", "mmm": "mismatch_m", "mmext": "mismatch_ext",
+    "dangle5": "dangle5", "dangle3": "dangle3",
+    "stack": "stack", "hairpin": "hairpin", "bulge": "bulge",
+    "internal": "internal", "int11": "int11", "int21": "int21", "int22": "int22",
+}
+
+
+def apply(p):
+    """Apply calibrated values onto an EnergyParams instance in place."""
+    p.ninio_m = NINIO_M
+    p.ninio_max = NINIO_MAX
+    for key, v in OVERRIDES.items():
+        kind = key[0]
+        tab = getattr(p, _TABLE_OF[kind])
+        idx = key[1:]
+        tab[idx] = v
+        # physical symmetries: write the mirrored orientation too
+        if kind == "stack":
+            tab[idx[1], idx[0]] = v
+        elif kind == "int11":
+            t1, t2, x, y = idx
+            tab[t2, t1, y, x] = v
+        elif kind == "int22":
+            t1, t2, a, b, c, d = idx
+            tab[t2, t1, c, d, a, b] = v
+    if TETRALOOPS:
+        p.tetraloops = dict(TETRALOOPS)
+    if TRILOOPS:
+        p.triloops = dict(TRILOOPS)
+    if HEXALOOPS:
+        p.hexaloops = dict(HEXALOOPS)
+'''
+
+
+if __name__ == "__main__":
+    main()
