@@ -1,0 +1,369 @@
+"""Batched JAX/TPU evaluator for the integer Turner-2004 model.
+
+Evaluates whole pair tables in one `lax.scan` over positions with an
+explicit loop-frame stack (depth <= N/2+1), vmappable over any batch of
+(codes, pair-table) pairs.  All arithmetic is int32 dekacal — bit-equal
+to the CPU oracle (eval_np) by construction; a property test asserts
+equality over the reference corpus.
+
+Special hairpins (tetra/tri/hexa loops) use dense base-5-keyed lookup
+arrays so the string matching of the reference oracle becomes a gather.
+
+Design notes (TPU): the scan is sequential in N but all per-step work is
+O(1) gathers/selects, so throughput comes from vmapping thousands of
+candidate structures across VPU lanes; tables are small int32 arrays
+resident in device memory.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rafft_tpu.energy.params import EnergyParams, get_params
+from rafft_tpu.energy import _turner2004 as T
+
+INT_MISS = np.int32(np.iinfo(np.int32).min)
+
+
+def _dense_special(table: dict, k: int) -> np.ndarray:
+    """dict of k-mer string -> energy  =>  dense base-5 keyed array."""
+    arr = np.full(5 ** k, INT_MISS, dtype=np.int32)
+    code = {c: i for i, c in enumerate("NACGU")}
+    for s, v in table.items():
+        key = 0
+        for ch in s:
+            key = key * 5 + code[ch]
+        arr[key] = v
+    return arr
+
+
+class DeviceParams:
+    """Energy tables packed for device-side evaluation."""
+
+    def __init__(self, p: EnergyParams, max_len: int):
+        L = max_len + 2
+        self.pair_type = jnp.asarray(T.PAIR_TYPE, dtype=jnp.int32)
+        self.stack = jnp.asarray(p.stack, dtype=jnp.int32)
+        self.hairpin = jnp.asarray(p.hairpin_ext[:L], dtype=jnp.int32)
+        self.bulge = jnp.asarray(p.bulge_ext[:L], dtype=jnp.int32)
+        self.internal = jnp.asarray(p.internal_ext[:L], dtype=jnp.int32)
+        self.mmh = jnp.asarray(p.mismatch_h, dtype=jnp.int32)
+        self.mmi = jnp.asarray(p.mismatch_i, dtype=jnp.int32)
+        self.mm1n = jnp.asarray(p.mismatch_1n, dtype=jnp.int32)
+        self.mm23 = jnp.asarray(p.mismatch_23, dtype=jnp.int32)
+        self.mmm = jnp.asarray(p.mismatch_m, dtype=jnp.int32)
+        self.mmext = jnp.asarray(p.mismatch_ext, dtype=jnp.int32)
+        self.d5 = jnp.asarray(p.dangle5, dtype=jnp.int32)
+        self.d3 = jnp.asarray(p.dangle3, dtype=jnp.int32)
+        self.int11 = jnp.asarray(p.int11, dtype=jnp.int32)
+        self.int21 = jnp.asarray(p.int21, dtype=jnp.int32)
+        self.int22 = jnp.asarray(p.int22, dtype=jnp.int32)
+        self.tetra = jnp.asarray(_dense_special(p.tetraloops, 6))
+        self.tri = jnp.asarray(_dense_special(p.triloops, 5))
+        self.hexa = jnp.asarray(_dense_special(p.hexaloops, 8))
+        self.terminal_au = jnp.int32(p.terminal_au)
+        self.ml_closing = jnp.int32(p.ml_closing)
+        self.ml_intern = jnp.int32(p.ml_intern)
+        self.ml_base = jnp.int32(p.ml_base)
+        self.ninio_m = jnp.int32(p.ninio_m)
+        self.ninio_max = jnp.int32(p.ninio_max)
+
+
+_DP_CACHE: dict = {}
+
+
+def device_params(temperature: float = 37.0, max_len: int = 4096) -> DeviceParams:
+    key = (temperature, max_len)
+    if key not in _DP_CACHE:
+        _DP_CACHE[key] = DeviceParams(get_params(temperature), max_len)
+    return _DP_CACHE[key]
+
+
+def _g(table, *idx):
+    """Multi-index table lookup as a single flat 1-D gather (TPU-friendly:
+    generalized multi-dim gathers lower poorly on the VPU)."""
+    flat = table.reshape(-1)
+    strides = np.cumprod((1,) + table.shape[:0:-1])[::-1]
+    assert len(idx) == len(table.shape)
+    lin = idx[0] * int(strides[0])
+    for s, ix in zip(strides[1:], idx[1:]):
+        lin = lin + ix * int(s)
+    return flat[lin]
+
+
+def _ptype(dp, a, b):
+    t = _g(dp.pair_type, a, b)
+    return jnp.where(t == 0, 7, t)
+
+
+def _sget(codes, i, n):
+    """codes[i] with 0 (N) outside [0, n)."""
+    ok = (i >= 0) & (i < n)
+    return jnp.where(ok, codes[jnp.clip(i, 0, codes.shape[0] - 1)], 0)
+
+
+def _kmer_keys(codes: jnp.ndarray, k: int) -> jnp.ndarray:
+    """key[i] = base-5 encoding of codes[i:i+k] (0-padded past the end)."""
+    N = codes.shape[0]
+    key = jnp.zeros(N, dtype=jnp.int32)
+    for t in range(k):
+        sh = jnp.concatenate([codes[t:], jnp.zeros(t, dtype=codes.dtype)])
+        key = key * 5 + sh.astype(jnp.int32)
+    return key
+
+
+def _hairpin(dp, codes, n, i, j, key5, key6, key8):
+    size = j - i - 1
+    t = _ptype(dp, _sget(codes, i, n), _sget(codes, j, n))
+    e = dp.hairpin[jnp.clip(size, 0, dp.hairpin.shape[0] - 1)]
+    mism = _g(dp.mmh, t, _sget(codes, i + 1, n), _sget(codes, j - 1, n))
+
+    tri_e = dp.tri[jnp.clip(key5[i], 0, dp.tri.shape[0] - 1)]
+    tet_e = dp.tetra[jnp.clip(key6[i], 0, dp.tetra.shape[0] - 1)]
+    hex_e = dp.hexa[jnp.clip(key8[i], 0, dp.hexa.shape[0] - 1)]
+
+    generic = e + mism
+    tri_out = jnp.where(tri_e != INT_MISS, tri_e,
+                        e + jnp.where(t > 2, dp.terminal_au, 0))
+    tet_out = jnp.where(tet_e != INT_MISS, tet_e, generic)
+    hex_out = jnp.where(hex_e != INT_MISS, hex_e, generic)
+
+    return jnp.where(size == 3, tri_out,
+                     jnp.where(size == 4, tet_out,
+                               jnp.where(size == 6, hex_out, generic)))
+
+
+def _int_loop(dp, codes, n, i, j, q, r):
+    """Two-loop closed by (i,j) with inner pair (q,r)."""
+    n1 = q - i - 1
+    n2 = j - r - 1
+    t1 = _ptype(dp, _sget(codes, i, n), _sget(codes, j, n))
+    t2 = _ptype(dp, _sget(codes, r, n), _sget(codes, q, n))
+    nl = jnp.maximum(n1, n2)
+    ns = jnp.minimum(n1, n2)
+
+    si1 = _sget(codes, i + 1, n)
+    sj1 = _sget(codes, j - 1, n)
+    sp1 = _sget(codes, q - 1, n)
+    sq1 = _sget(codes, r + 1, n)
+
+    stack_e = _g(dp.stack, t1, t2)
+
+    blg = dp.bulge[jnp.clip(nl, 0, dp.bulge.shape[0] - 1)]
+    bulge_e = blg + jnp.where(
+        nl == 1, stack_e,
+        jnp.where(t1 > 2, dp.terminal_au, 0) + jnp.where(t2 > 2, dp.terminal_au, 0))
+
+    i11 = _g(dp.int11, t1, t2, si1, sj1)
+    i21a = _g(dp.int21, t1, t2, si1, sq1, sj1)
+    i21b = _g(dp.int21, t2, t1, sq1, si1, sp1)
+    i21 = jnp.where(n1 == 1, i21a, i21b)
+
+    ninio = jnp.minimum(dp.ninio_max, (nl - ns) * dp.ninio_m)
+    onexn = (dp.internal[jnp.clip(nl + 1, 0, dp.internal.shape[0] - 1)]
+             + ninio + _g(dp.mm1n, t1, si1, sj1) + _g(dp.mm1n, t2, sq1, sp1))
+
+    i22 = _g(dp.int22, t1, t2, si1, sp1, sq1, sj1)
+    l23 = (dp.internal[5] + dp.ninio_m
+           + _g(dp.mm23, t1, si1, sj1) + _g(dp.mm23, t2, sq1, sp1))
+
+    generic = (dp.internal[jnp.clip(nl + ns, 0, dp.internal.shape[0] - 1)]
+               + ninio + _g(dp.mmi, t1, si1, sj1) + _g(dp.mmi, t2, sq1, sp1))
+
+    ns1 = jnp.where(nl == 1, i11, jnp.where(nl == 2, i21, onexn))
+    ns2 = jnp.where(nl == 2, i22, jnp.where(nl == 3, l23, generic))
+    inner = jnp.where(ns == 1, ns1, jnp.where(ns == 2, ns2, generic))
+
+    return jnp.where(nl == 0, stack_e, jnp.where(ns == 0, bulge_e, inner))
+
+
+def _ml_stem(dp, t, s5, s3):
+    return (_g(dp.mmm, t, s5, s3) + jnp.where(t > 2, dp.terminal_au, 0)
+            + dp.ml_intern)
+
+
+def _ext_stem(dp, codes, n, i, j):
+    t = _ptype(dp, _sget(codes, i, n), _sget(codes, j, n))
+    s5 = _sget(codes, i - 1, n)
+    s3 = _sget(codes, j + 1, n)
+    has5 = i > 0
+    has3 = j < n - 1
+    e = jnp.where(
+        has5 & has3, _g(dp.mmext, t, s5, s3),
+        jnp.where(has5, _g(dp.d5, t, s5), jnp.where(has3, _g(dp.d3, t, s3), 0)))
+    return e + jnp.where(t > 2, dp.terminal_au, 0)
+
+
+def eval_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
+            n: jnp.ndarray) -> jnp.ndarray:
+    """Integer energy of one pair table — fully parallel formulation.
+
+    No sequential scan: the innermost enclosing pair of every opening is
+    found with a masked max-reduction (nesting means p < i and
+    pt[p] > i suffices), children statistics per loop come from masked
+    reductions over the [N, N] parent-incidence relation (MXU/VPU
+    friendly), and every loop's energy is then a parallel gather.
+    """
+    N = codes.shape[0]
+    key5 = _kmer_keys(codes, 5)
+    key6 = _kmer_keys(codes, 6)
+    key8 = _kmer_keys(codes, 8)
+
+    ii = jnp.arange(N, dtype=jnp.int32)
+    valid = ii < n
+    is_open = valid & (pt > ii)
+
+    # parent opening of each opening i: max p < i with pt[p] > i (else -1).
+    # Single fused masked max-reduction — the only O(N^2) op; everything
+    # downstream is O(N) segment arithmetic on the parent vector.
+    enc = (ii[None, :] < ii[:, None]) & is_open[None, :] & (pt[None, :] > ii[:, None])
+    parent = jnp.max(jnp.where(enc, ii[None, :], -1), axis=1)  # [N]
+
+    # children statistics per loop, keyed by parent opening (+1; 0=exterior)
+    seg = jnp.where(is_open, parent + 1, N + 1)
+    nseg = N + 2
+    ones = jnp.where(is_open, 1, 0)
+    branches_seg = jax.ops.segment_sum(ones, seg, num_segments=nseg)
+    first_child_seg = jax.ops.segment_min(jnp.where(is_open, ii, N), seg,
+                                          num_segments=nseg)
+    t_stem = _ptype(dp, codes, codes[jnp.clip(pt, 0, N - 1)])
+    s5 = _sget_vec(codes, ii - 1, n)
+    s3 = _sget_vec(codes, jnp.clip(pt, 0, N - 1) + 1, n)
+    mls = _ml_stem(dp, t_stem, s5, s3)                                # [N]
+    mlsum_seg = jax.ops.segment_sum(jnp.where(is_open, mls, 0), seg,
+                                    num_segments=nseg)
+
+    # ---- compact openings to H = N/2+1 slots: loop energies are only
+    # needed per pair, so the expensive table gathers run on half the lanes
+    H = N // 2 + 1
+    order = jnp.argsort(jnp.where(is_open, ii, N + ii))
+    op = order[:H]                       # positions of openings, then filler
+    op_valid = is_open[op]
+    i_o = op
+    j_o = jnp.clip(pt[op], 0, N - 1)
+
+    branches = branches_seg[jnp.clip(op + 1, 0, nseg - 1)]
+    first_child = first_child_seg[jnp.clip(op + 1, 0, nseg - 1)]
+    mlsum = mlsum_seg[jnp.clip(op + 1, 0, nseg - 1)]
+    q = jnp.clip(first_child, 0, N - 1)
+    r = jnp.clip(pt[q], 0, N - 1)
+
+    hp = jax.vmap(lambda a, b_: _hairpin(dp, codes, n, a, b_, key5, key6, key8))(
+        i_o, j_o)
+    il = jax.vmap(lambda a, b_, qq, rr: _int_loop(dp, codes, n, a, b_, qq, rr))(
+        i_o, j_o, q, r)
+    tc = _ptype(dp, _sget_vec(codes, j_o, n), _sget_vec(codes, i_o, n))
+    ml = (dp.ml_closing + mlsum
+          + _ml_stem(dp, tc, _sget_vec(codes, j_o - 1, n),
+                     _sget_vec(codes, i_o + 1, n)))
+    loop_e = jnp.where(branches == 0, hp,
+                       jnp.where(branches == 1, il, ml))
+
+    ext = jax.vmap(lambda a, b_: _ext_stem(dp, codes, n, a, b_))(i_o, j_o)
+
+    total = jnp.sum(jnp.where(op_valid, loop_e, 0))
+    total += jnp.sum(jnp.where(op_valid & (parent[op] == -1), ext, 0))
+    return total.astype(jnp.int32)
+
+
+def _sget_vec(codes, idx, n):
+    ok = (idx >= 0) & (idx < n)
+    return jnp.where(ok, codes[jnp.clip(idx, 0, codes.shape[0] - 1)], 0)
+
+
+def eval_pt_scan(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
+                 n: jnp.ndarray) -> jnp.ndarray:
+    """Sequential-scan evaluator (kept as an O(N)-memory fallback for very
+    long sequences where the [N, N] relation would not fit)."""
+    N = codes.shape[0]
+    D = N // 2 + 2
+    key5 = _kmer_keys(codes, 5)
+    key6 = _kmer_keys(codes, 6)
+    key8 = _kmer_keys(codes, 8)
+
+    # frame stacks
+    init = dict(
+        depth=jnp.int32(0),
+        energy=jnp.int32(0),
+        f_open=jnp.zeros(D, dtype=jnp.int32),
+        f_branches=jnp.zeros(D, dtype=jnp.int32),
+        f_mlsum=jnp.zeros(D, dtype=jnp.int32),
+        f_q=jnp.zeros(D, dtype=jnp.int32),
+        f_r=jnp.zeros(D, dtype=jnp.int32),
+    )
+
+    def step(st, k):
+        j = pt[k]
+        valid = k < n
+        is_open = valid & (j > k)
+        is_close = valid & (j >= 0) & (j < k)
+
+        d = st["depth"]
+        nd = jnp.clip(d + 1, 0, D - 1)
+        pd = jnp.clip(d - 1, 0, D - 1)
+
+        # ---- close-path quantities (computed unconditionally, masked in)
+        i = jnp.where(is_close, j, 0)
+        b = st["f_branches"][d]
+        hp = _hairpin(dp, codes, n, i, k, key5, key6, key8)
+        il = _int_loop(dp, codes, n, i, k, st["f_q"][d], st["f_r"][d])
+        tc = _ptype(dp, _sget(codes, k, n), _sget(codes, i, n))
+        ml = (dp.ml_closing + st["f_mlsum"][d]
+              + _ml_stem(dp, tc, _sget(codes, k - 1, n), _sget(codes, i + 1, n)))
+        loop_e = jnp.where(b == 0, hp, jnp.where(b == 1, il, ml))
+
+        tstem = _ptype(dp, _sget(codes, i, n), _sget(codes, k, n))
+        mls = _ml_stem(dp, tstem, _sget(codes, i - 1, n), _sget(codes, k + 1, n))
+        ext = _ext_stem(dp, codes, n, i, k)
+        at_top = pd == 0
+
+        # ---- branch-free state update
+        st = dict(st)
+        st["energy"] = st["energy"] + jnp.where(
+            is_close, loop_e + jnp.where(at_top, ext, 0), 0)
+
+        # push: reset frame nd; only when opening
+        st["f_open"] = st["f_open"].at[nd].set(
+            jnp.where(is_open, k, st["f_open"][nd]))
+        st["f_branches"] = st["f_branches"].at[nd].set(
+            jnp.where(is_open, 0, st["f_branches"][nd]))
+        st["f_mlsum"] = st["f_mlsum"].at[nd].set(
+            jnp.where(is_open, 0, st["f_mlsum"][nd]))
+
+        # pop: fold this stem into the parent frame; only when closing
+        pb = st["f_branches"][pd]
+        st["f_q"] = st["f_q"].at[pd].set(
+            jnp.where(is_close & (pb == 0), i, st["f_q"][pd]))
+        st["f_r"] = st["f_r"].at[pd].set(
+            jnp.where(is_close & (pb == 0), k, st["f_r"][pd]))
+        st["f_branches"] = st["f_branches"].at[pd].set(
+            jnp.where(is_close, pb + 1, pb))
+        st["f_mlsum"] = st["f_mlsum"].at[pd].add(jnp.where(is_close, mls, 0))
+
+        st["depth"] = jnp.where(is_open, nd, jnp.where(is_close, pd, d))
+        return st, None
+
+    st, _ = jax.lax.scan(step, init, jnp.arange(N, dtype=jnp.int32))
+    return st["energy"]
+
+
+@jax.jit
+def _eval_batch_jit(codes, pt, n, dp_dict):
+    from types import SimpleNamespace
+
+    dp = SimpleNamespace(**dp_dict)
+    return jax.vmap(lambda c, p, ln: eval_pt(dp, c, p, ln))(codes, pt, n)
+
+
+def eval_batch(codes: np.ndarray, pt: np.ndarray, n: np.ndarray,
+               temperature: float = 37.0) -> np.ndarray:
+    """Convenience host API: batch-evaluate [B, N] codes/pair-tables."""
+    N = codes.shape[-1]
+    dp = device_params(temperature, max_len=N)
+    return np.asarray(_eval_batch_jit(
+        jnp.asarray(codes, dtype=jnp.int32), jnp.asarray(pt, dtype=jnp.int32),
+        jnp.asarray(n, dtype=jnp.int32), dict(dp.__dict__)))
