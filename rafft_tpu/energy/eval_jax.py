@@ -275,6 +275,72 @@ def _sget_vec(codes, idx, n):
     return jnp.where(ok, codes[jnp.clip(idx, 0, codes.shape[0] - 1)], 0)
 
 
+def analyze_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
+               n: jnp.ndarray):
+    """Loop analysis of one pair table for the fold engine.
+
+    Returns a dict of [N]-arrays:
+      enclose   innermost enclosing opening of every position (-1 = exterior)
+      is_open   opening mask
+      branches / first_child / mlsum / loop_e   per-opening loop caches
+      energy    total integer energy
+    loop_e[p] is the energy of the loop closed by pair (p, pt[p]); the
+    total also includes exterior stem terms (not attributed to a loop).
+    """
+    N = codes.shape[0]
+    key5 = _kmer_keys(codes, 5)
+    key6 = _kmer_keys(codes, 6)
+    key8 = _kmer_keys(codes, 8)
+
+    ii = jnp.arange(N, dtype=jnp.int32)
+    valid = ii < n
+    is_open = valid & (pt > ii)
+
+    enc = (ii[None, :] < ii[:, None]) & is_open[None, :] & (pt[None, :] > ii[:, None])
+    enclose = jnp.max(jnp.where(enc, ii[None, :], -1), axis=1)
+
+    seg = jnp.where(is_open, enclose + 1, N + 1)
+    nseg = N + 2
+    branches_seg = jax.ops.segment_sum(jnp.where(is_open, 1, 0), seg,
+                                       num_segments=nseg)
+    first_child_seg = jax.ops.segment_min(jnp.where(is_open, ii, N), seg,
+                                          num_segments=nseg)
+    t_stem = _ptype(dp, codes, codes[jnp.clip(pt, 0, N - 1)])
+    s5v = _sget_vec(codes, ii - 1, n)
+    s3v = _sget_vec(codes, jnp.clip(pt, 0, N - 1) + 1, n)
+    mls = _ml_stem(dp, t_stem, s5v, s3v)
+    mlsum_seg = jax.ops.segment_sum(jnp.where(is_open, mls, 0), seg,
+                                    num_segments=nseg)
+
+    branches = branches_seg[jnp.clip(ii + 1, 0, nseg - 1)]
+    first_child = first_child_seg[jnp.clip(ii + 1, 0, nseg - 1)]
+    mlsum = mlsum_seg[jnp.clip(ii + 1, 0, nseg - 1)]
+
+    j_o = jnp.clip(pt, 0, N - 1)
+    q = jnp.clip(first_child, 0, N - 1)
+    r = jnp.clip(pt[q], 0, N - 1)
+    hp = jax.vmap(lambda a, b_: _hairpin(dp, codes, n, a, b_, key5, key6, key8))(
+        ii, j_o)
+    il = jax.vmap(lambda a, b_, qq, rr: _int_loop(dp, codes, n, a, b_, qq, rr))(
+        ii, j_o, q, r)
+    tc = _ptype(dp, _sget_vec(codes, j_o, n), _sget_vec(codes, ii, n))
+    ml = (dp.ml_closing + mlsum
+          + _ml_stem(dp, tc, _sget_vec(codes, j_o - 1, n),
+                     _sget_vec(codes, ii + 1, n)))
+    loop_e = jnp.where(branches == 0, hp, jnp.where(branches == 1, il, ml))
+    loop_e = jnp.where(is_open, loop_e, 0)
+
+    ext = jax.vmap(lambda a, b_: _ext_stem(dp, codes, n, a, b_))(ii, j_o)
+    energy = (jnp.sum(loop_e)
+              + jnp.sum(jnp.where(is_open & (enclose == -1), ext, 0))
+              ).astype(jnp.int32)
+
+    return dict(enclose=enclose, is_open=is_open, branches=branches,
+                first_child=first_child, mlsum=mlsum, loop_e=loop_e,
+                mls=jnp.where(is_open, mls, 0),
+                exts=jnp.where(is_open, ext, 0), energy=energy)
+
+
 def eval_pt_scan(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
                  n: jnp.ndarray) -> jnp.ndarray:
     """Sequential-scan evaluator (kept as an O(N)-memory fallback for very

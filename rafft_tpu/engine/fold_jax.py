@@ -1,0 +1,791 @@
+"""Batched TPU fold engine (jit/vmap, fixed shapes).
+
+A from-scratch TPU-first redesign of the reference's beam BFS
+(/root/reference/rafft/rafft.py:112-239).  Key design decisions:
+
+* **Beam state is just pair tables + energies.**  The reference's
+  region bookkeeping (Node pos_lists built by slicing/concatenating
+  encodings, utils.py:141-152) is provably equivalent to "the unpaired
+  positions of each loop of the current structure", so regions are
+  re-derived on device from the pair table each step (one masked
+  max-reduction; see energy/eval_jax.analyze_pt).  Only the *ordering*
+  of regions (the reference's node_list order, which fixes product
+  enumeration and tie-breaks) is carried explicitly (`rorder`).
+
+* **Integer incremental dE.**  Energies are loop-additive integers, so a
+  candidate stem's dE is stacks-along-stem + inner hairpin + the
+  enclosing-loop transition (hairpin->two-loop->multiloop/exterior), all
+  O(1) gathers — no O(N) re-evaluation, and cross-region combinations
+  need no evaluation at all (dE's add exactly).  Candidates whose stem
+  jumps an excised gap or swallows old stems ("complex") fall back to
+  the full batched evaluator under a fixed budget.
+
+* **No scatters in the hot path.**  Combination pair tables are built
+  position-wise (each position computes its own partner from the chosen
+  candidates), so stems of any length cost O(1) per position.
+
+* Correlation is a batched real FFT over fixed-size padded regions; with
+  the default integer pair weights the spectrum is rounded back to exact
+  integers so lag ranking is deterministic.
+
+Parity notes: results match the CPU engine except for (a) float32 vs
+float64 correlation tie noise, (b) the reference's max_branch overshoot
+quirk (cap checked after each add), (c) complex-candidate budget
+overflow — all counted in the returned stats.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from types import SimpleNamespace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import rafft_tpu.jax_setup  # noqa: F401  (persistent compile cache)
+from rafft_tpu.energy.params import get_params, encode_sequence
+from rafft_tpu.energy import eval_jax as EJ
+from rafft_tpu.energy.eval_jax import (device_params, analyze_pt, eval_pt,
+                                       _ptype, _g, _sget_vec, _ml_stem,
+                                       _ext_stem, _int_loop, _hairpin,
+                                       _kmer_keys)
+from rafft_tpu.scan.encode import CHANNEL_CODES, weight_matrix
+
+NEG = jnp.float32(-3.0e38)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    N: int = 128          # padded sequence length (bucket)
+    K: int = 5            # beam width (max_stack)
+    R: int = 8            # max regions per structure
+    M: int = 100          # lags searched per region (nb_mode)
+    V: int = 256          # combination slots per step per sequence
+    CPLX: int = 128       # complex-candidate full-eval budget per sequence
+    S: int = 2048         # seen-set capacity per sequence
+    max_steps: int = 24
+    max_branch: int = 1000
+    min_hp: int = 3
+    min_nrj: float = 0.0
+    temp: float = 37.0
+    gc_wei: float = 3.0
+    au_wei: float = 2.0
+    gu_wei: float = 1.0
+
+
+def _weights_integral(cfg):
+    return all(float(w) == int(w) for w in (cfg.gc_wei, cfg.au_wei, cfg.gu_wei))
+
+
+# ======================================================================
+# per-step computation
+# ======================================================================
+
+def _regions(cfg, pt, enclose, rorder, n):
+    """Compact each ordered region's member positions.
+
+    Returns rpos [K,R,N] (member positions ascending, N-padded),
+    rloc [K,N] (local index of each position within its region; R*N if
+    none), mlen [K,R]."""
+    K, R, N = cfg.K, cfg.R, cfg.N
+    ii = jnp.arange(N, dtype=jnp.int32)
+
+    unpaired = (pt < 0) & (ii[None, :] < n)          # [K,N]
+    # label of every position = innermost enclosing opening (-1 exterior)
+    lab = enclose                                     # [K,N]
+
+    # match positions to ordered region slots
+    memb = (unpaired[:, None, :]
+            & (lab[:, None, :] == rorder[:, :, None])
+            & (rorder[:, :, None] > -2))              # [K,R,N]
+    rpos = jnp.sort(jnp.where(memb, ii[None, None, :], N), axis=-1)
+    mlen = memb.sum(axis=-1).astype(jnp.int32)
+
+    # local index of position x in its region (for combo construction)
+    loc_in_reg = jnp.cumsum(memb, axis=-1) - 1        # [K,R,N]
+    rslot = jnp.argmax(memb, axis=1).astype(jnp.int32)  # [K,N]
+    has = memb.any(axis=1)
+    rloc = jnp.where(has, jnp.take_along_axis(
+        loc_in_reg, rslot[:, None, :], axis=1)[:, 0], -1).astype(jnp.int32)
+    rslot = jnp.where(has, rslot, -1)
+    return rpos, rloc, rslot, mlen
+
+
+def _correlate(cfg, W, rcodes, mlen, integral):
+    """Normalised correlation per region: [K,R,2N-1]."""
+    N = cfg.N
+    ch = jnp.asarray(CHANNEL_CODES)
+    fwd = (rcodes[..., None, :] == ch[:, None]).astype(jnp.float32)  # [K,R,4,N]
+    Wj = jnp.asarray(W, dtype=jnp.float32)
+    wen = Wj[ch[:, None], rcodes[..., None, :]]                      # [K,R,4,N]
+    F = 2 * N
+    conv = jnp.fft.irfft(jnp.fft.rfft(fwd, n=F) * jnp.fft.rfft(wen, n=F),
+                         n=F)[..., : 2 * N - 1]
+    cor = conv.sum(axis=-2)
+    if integral:
+        cor = jnp.round(cor)
+    lag = jnp.arange(2 * N - 1, dtype=jnp.int32)
+    m = mlen[..., None]
+    norm = (jnp.minimum(lag, jnp.maximum(2 * m - 2 - lag, 0))
+            + jnp.float32(1.0))
+    valid = lag < 2 * m - 1
+    return jnp.where(valid, cor / norm, NEG)
+
+
+def _top_lags(cfg, cor):
+    """Descending value, ties by descending lag (reference order)."""
+    rev = cor[..., ::-1]
+    vals, idx = jax.lax.top_k(rev, cfg.M)
+    lags = (cor.shape[-1] - 1) - idx
+    return lags.astype(jnp.int32), vals
+
+
+def _window_scan(cfg, dp, W, rcodes, rpos, mlen, lags, lag_ok):
+    """Vectorised window-slide over all (k, r, m) lanes at once.
+
+    Returns per-candidate best run info + stack-energy prefix + complex
+    flag, all [K,R,M]."""
+    K, R, M, N = cfg.K, cfg.R, cfg.M, cfg.N
+    H = N // 2 + 1
+    Wj = jnp.asarray(W, dtype=jnp.float32)
+
+    m = mlen[:, :, None]                                   # [K,R,1]
+    lag = lags                                             # [K,R,M]
+    w_width = jnp.where(lag < m, lag + 1, 2 * m - lag - 1)
+    half = w_width // 2 + (w_width % 2)
+
+    shape = (K, R, M)
+    state = dict(
+        tot=jnp.zeros(shape, jnp.float32),
+        tmp_max=jnp.zeros(shape, jnp.int32),
+        max_score=jnp.zeros(shape, jnp.float32),
+        max_nb=jnp.zeros(shape, jnp.int32),
+        max_i=jnp.zeros(shape, jnp.int32),
+        max_j=jnp.zeros(shape, jnp.int32),
+        sE=jnp.zeros(shape, jnp.int32),
+        best_sE=jnp.zeros(shape, jnp.int32),
+    )
+
+    def gpos(arr, idx):
+        # arr [K,R,N] gathered at idx [K,R,M] -> [K,R,M]
+        return jnp.take_along_axis(arr, jnp.clip(idx, 0, N - 1), axis=-1)
+
+    def body(i, st):
+        ip = jnp.where(lag < m, i, lag - m + 1 + i)
+        jp = jnp.where(lag < m, lag - i, m - 1 - i)
+        ipc = jnp.clip(ip, 0, N - 1)
+        jpc = jnp.clip(jp, 0, N - 1)
+        ci = gpos(rcodes, ipc)
+        cj = gpos(rcodes, jpc)
+        w = Wj[ci, cj]
+
+        pi = gpos(rpos, ipc)
+        pim1 = gpos(rpos, ipc - 1)
+        pj = gpos(rpos, jpc)
+        pjp1 = gpos(rpos, jpc + 1)
+        contig = (i > 0) & (pi - pim1 == 1) & (pjp1 - pj == 1)
+
+        tot_prev = st["tot"]
+        tot = jnp.where(contig, (tot_prev + w) * w, w)
+        tmp_max = jnp.where(tot == 0, 0, st["tmp_max"] + 1)
+
+        # stack energy between pair (ip-1, jp+1) [outer] and (ip, jp):
+        # accumulates over contiguous steps of the current run; resets
+        # when the run resets (tot==0); held (not added) across gap
+        # steps — gap steps contribute their own multiloop term later
+        t_out = _ptype(dp, gpos(rcodes, ipc - 1), gpos(rcodes, jpc + 1))
+        t_in = _ptype(dp, cj, ci)
+        in_run = (tot != 0) & (tot_prev != 0) & contig
+        sE = jnp.where(tot == 0, 0,
+                       jnp.where(tot_prev == 0, 0,
+                                 jnp.where(in_run,
+                                           st["sE"] + _g(dp.stack, t_out, t_in),
+                                           st["sE"])))
+
+        in_win = (i < half) & lag_ok
+        gap_ok = pj - pi > cfg.min_hp
+        upd = in_win & gap_ok & (tot >= st["max_score"])
+
+        st = dict(st)
+        st["tot"] = jnp.where(in_win, tot, st["tot"])
+        st["tmp_max"] = jnp.where(in_win, tmp_max, st["tmp_max"])
+        st["sE"] = jnp.where(in_win, sE, st["sE"])
+        st["max_score"] = jnp.where(upd, tot, st["max_score"])
+        st["max_nb"] = jnp.where(upd, tmp_max, st["max_nb"])
+        st["max_i"] = jnp.where(upd, ip, st["max_i"])
+        st["max_j"] = jnp.where(upd, jp, st["max_j"])
+        st["best_sE"] = jnp.where(upd, sE, st["best_sE"])
+        return st
+
+    st = jax.lax.fori_loop(0, H, body, state)
+    return st
+
+
+def _children(cfg, pt, loops, rorder, C):
+    """Per (k, r): the enclosing loop's direct children, ascending, with
+    prefix sums of their multiloop-stem terms and spans.
+
+    Returns chs [K,R,C] (starts, N-padded), pml [K,R,C+1], pspan [K,R,C+1],
+    nch [K,R], mls [K,N] (per-opening multiloop stem term)."""
+    K, R, N = cfg.K, cfg.R, cfg.N
+    ii = jnp.arange(N, dtype=jnp.int32)
+    is_open = loops["is_open"]                           # [K,N]
+    enclose = loops["enclose"]
+
+    memb = (is_open[:, None, :]
+            & (enclose[:, None, :] == rorder[:, :, None])
+            & (rorder[:, :, None] > -2))                 # [K,R,N]
+    order = jnp.argsort(jnp.where(memb, ii[None, None, :], N), axis=-1)
+    chs_full = jnp.take_along_axis(
+        jnp.where(memb, ii[None, None, :], N)[..., 0:N], order, axis=-1)
+    chs = chs_full[..., :C]
+    nch = memb.sum(axis=-1).astype(jnp.int32)
+
+    mls = loops["mls"]                                   # [K,N]
+    mls_r = jnp.take_along_axis(
+        jnp.broadcast_to(mls[:, None, :], (K, R, N)),
+        jnp.clip(chs, 0, N - 1), axis=-1)
+    mls_r = jnp.where(chs < N, mls_r, 0)
+    pml = jnp.concatenate(
+        [jnp.zeros((K, R, 1), jnp.int32), jnp.cumsum(mls_r, axis=-1)], axis=-1)
+
+    ptk = jnp.broadcast_to(pt[:, None, :], (K, R, N))
+    che = jnp.take_along_axis(ptk, jnp.clip(chs, 0, N - 1), axis=-1)
+    span = jnp.where(chs < N, che - chs + 1, 0)
+    pspan = jnp.concatenate(
+        [jnp.zeros((K, R, 1), jnp.int32), jnp.cumsum(span, axis=-1)], axis=-1)
+
+    # per-child exterior-loop term (needed when an exterior stem swallows
+    # former top-level stems: their ext terms leave the total)
+    exts = loops["exts"]                                 # [K,N]
+    ext_r = jnp.take_along_axis(
+        jnp.broadcast_to(exts[:, None, :], (K, R, N)),
+        jnp.clip(chs, 0, N - 1), axis=-1)
+    ext_r = jnp.where(chs < N, ext_r, 0)
+    pext = jnp.concatenate(
+        [jnp.zeros((K, R, 1), jnp.int32), jnp.cumsum(ext_r, axis=-1)], axis=-1)
+    return chs, pml, pspan, pext, nch
+
+
+def _candidate_delta(cfg, dp, codes, n, keys, pt, loops, rorder,
+                     rpos, mlen, ws, lags, G=8, C=48):
+    """Exact incremental integer dE for every candidate [K,R,M].
+
+    Handles the general case: a stem may jump excised gaps (each jump
+    creates a zero-unpaired multiloop between consecutive stem pairs),
+    its innermost pair may enclose old stems (hairpin / two-loop /
+    multiloop by child count), and the enclosing loop transitions by
+    gaining the stem and losing swallowed children — all resolved with
+    interval queries over per-loop child prefix sums.
+
+    Candidates with > G gap jumps or regions with > C children are
+    flagged unsupported (resolved by full evaluation under a budget)."""
+    K, R, M, N = cfg.K, cfg.R, cfg.M, cfg.N
+    key5, key6, key8 = keys
+
+    run = ws["max_nb"]
+    has = run > 0
+
+    def gpos(arr, idx):
+        return jnp.take_along_axis(arr, jnp.clip(idx, 0, N - 1), axis=-1)
+
+    i_s = ws["max_i"]
+    j_s = ws["max_j"]
+    p0 = gpos(rpos, i_s)                    # innermost 5'
+    q0 = gpos(rpos, j_s)                    # innermost 3'
+    a = gpos(rpos, i_s - run + 1)           # outermost 5'
+    b2 = gpos(rpos, j_s + run - 1)          # outermost 3'
+
+    def cvec(idx):
+        ok = (idx >= 0) & (idx < n)
+        return jnp.where(ok, codes[jnp.clip(idx, 0, N - 1)], 0)
+
+    def mlstem_at(x, y):
+        t = _ptype(dp, cvec(x), cvec(y))
+        return _ml_stem(dp, t, cvec(x - 1), cvec(y + 1))
+
+    def mlclose_at(x, y):
+        # closing pair (x,y) seen from inside: reversed type, neighbours
+        t = _ptype(dp, cvec(y), cvec(x))
+        return _ml_stem(dp, t, cvec(y - 1), cvec(x + 1))
+
+    chs, pml, pspan, pext, nch = _children(cfg, pt, loops, rorder, C)
+
+    def ssr(q):  # first child index with start > q     [K,R,M]
+        return jax.vmap(jax.vmap(
+            lambda c, qq: jnp.searchsorted(c, qq, side="right")))(chs, q
+                                                                  ).astype(jnp.int32)
+
+    def ssl(q):  # first child index with start >= q
+        return jax.vmap(jax.vmap(
+            lambda c, qq: jnp.searchsorted(c, qq, side="left")))(chs, q
+                                                                 ).astype(jnp.int32)
+
+    def prange(pref, lo, hi):
+        return (jnp.take_along_axis(pref, hi, axis=-1)
+                - jnp.take_along_axis(pref, lo, axis=-1))
+
+    # ---- inner loop closed by (p0, q0)
+    lo_in = ssr(p0)
+    hi_in = ssl(q0)
+    cin = hi_in - lo_in
+    fc_in = jnp.take_along_axis(chs, jnp.clip(lo_in, 0, C - 1), axis=-1)
+    fc_in_e = jnp.take_along_axis(
+        jnp.broadcast_to(pt[:, None, :], (K, R, N)),
+        jnp.clip(fc_in, 0, N - 1), axis=-1)
+
+    hpE = jax.vmap(jax.vmap(jax.vmap(
+        lambda aa, bb: _hairpin(dp, codes, n, aa, bb, key5, key6, key8))))(
+        jnp.clip(p0, 0, N - 1), jnp.clip(q0, 0, N - 1))
+    ilE = jax.vmap(jax.vmap(jax.vmap(
+        lambda i_, j_, q_, r_: _int_loop(dp, codes, n, i_, j_, q_, r_))))(
+        jnp.clip(p0, 0, N - 1), jnp.clip(q0, 0, N - 1),
+        jnp.clip(fc_in, 0, N - 1), jnp.clip(fc_in_e, 0, N - 1))
+    mlE_in = (dp.ml_closing + mlclose_at(p0, q0)
+              + prange(pml, lo_in, hi_in))
+    innerE = jnp.where(cin == 0, hpE, jnp.where(cin == 1, ilE, mlE_in))
+
+    # ---- gap-jump loops along the stem
+    # jump marker per scan step along each lag diagonal
+    m = mlen[:, :, None]
+    lag = lags
+    H = N // 2 + 1
+    iarr = jnp.arange(H, dtype=jnp.int32)
+
+    def step_idx(i):
+        ip = jnp.where(lag < m, i, lag - m + 1 + i)
+        jp = jnp.where(lag < m, lag - i, m - 1 - i)
+        return ip, jp
+
+    jump5 = jnp.concatenate(
+        [jnp.zeros((K, R, 1), bool),
+         (rpos[..., 1:] - rpos[..., :-1]) > 1], axis=-1)  # [K,R,N]
+
+    def jmp_at(i):
+        ip, jp = step_idx(i)
+        j5 = jnp.take_along_axis(jnp.broadcast_to(jump5[:, :, None, :],
+                                                  (K, R, M, N)),
+                                 jnp.clip(ip, 0, N - 1)[..., None],
+                                 axis=-1)[..., 0]
+        j3 = jnp.take_along_axis(jnp.broadcast_to(jump5[:, :, None, :],
+                                                  (K, R, M, N)),
+                                 jnp.clip(jp + 1, 0, N - 1)[..., None],
+                                 axis=-1)[..., 0]
+        return (j5 | j3) & (i > 0)
+
+    jmp = jax.vmap(jmp_at, in_axes=0, out_axes=-1)(iarr)       # [K,R,M,H]
+    cnt = jnp.cumsum(jmp.astype(jnp.int32), axis=-1)           # [K,R,M,H]
+
+    # ws stores region-local pair indices; convert to scan indices
+    # (identical for lag < m, shifted by lag-m+1 otherwise)
+    si_star = jnp.where(lag < m, i_s, i_s - (lag - m + 1))
+    si_start = si_star - run + 1
+    cnt_at = lambda i: jnp.take_along_axis(cnt, jnp.clip(i, 0, H - 1)[..., None],
+                                           axis=-1)[..., 0]
+    ngaps = jnp.where(run > 0, cnt_at(si_star) - cnt_at(si_start), 0)
+
+    base = cnt_at(si_start)
+
+    def gap_body(g, gapsE):
+        tgt = base + g + 1
+        i_g = jax.vmap(jax.vmap(jax.vmap(
+            lambda c, t: jnp.searchsorted(c, t, side="left"))))(cnt, tgt
+                                                                ).astype(jnp.int32)
+        on = (g < ngaps) & has
+        ip_g, jp_g = step_idx(i_g)
+        a_in = gpos(rpos, ip_g)
+        b_in = gpos(rpos, jp_g)
+        a_out = gpos(rpos, ip_g - 1)
+        b_out = gpos(rpos, jp_g + 1)
+        lo5 = ssr(a_out)
+        hi5 = ssl(a_in)
+        lo3 = ssr(b_in)
+        hi3 = ssl(b_out)
+        ge = (dp.ml_closing + mlclose_at(a_out, b_out)
+              + mlstem_at(a_in, b_in)
+              + prange(pml, lo5, hi5) + prange(pml, lo3, hi3))
+        return gapsE + jnp.where(on, ge, 0)
+
+    gapsE = jax.lax.fori_loop(0, G, gap_body,
+                              jnp.zeros((K, R, M), jnp.int32))
+
+    # ---- enclosing loop transition
+    lab = jnp.broadcast_to(rorder[:, :, None], (K, R, M))
+    labc = jnp.clip(lab, 0, N - 1)
+    is_ext = lab == -1
+
+    def perk(field):
+        return jnp.take_along_axis(
+            jnp.broadcast_to(field[:, None, :], (K, R, N)), labc, axis=-1)
+
+    bL = perk(loops["branches"])
+    eL = perk(loops["loop_e"])
+    ptb = jnp.broadcast_to(pt[:, None, :], (K, R, N))
+    j_lab = jnp.take_along_axis(ptb, labc, axis=-1)
+
+    lo_sw = ssr(a - 1)     # children with start >= a
+    hi_sw = ssl(b2 + 1)    # children with start <= b2
+    sw = hi_sw - lo_sw
+    mlsub = prange(pml, lo_sw, hi_sw)
+    bLn = bL - sw + 1
+
+    il_new = jax.vmap(jax.vmap(jax.vmap(
+        lambda i_, j_, q_, r_: _int_loop(dp, codes, n, i_, j_, q_, r_))))(
+        labc, jnp.clip(j_lab, 0, N - 1), jnp.clip(a, 0, N - 1),
+        jnp.clip(b2, 0, N - 1))
+    ml_total = jnp.take_along_axis(
+        pml, jnp.broadcast_to(nch[..., None], (K, R, M)), axis=-1)
+    mlE_L = (dp.ml_closing + mlclose_at(lab, j_lab)
+             + ml_total - mlsub + mlstem_at(a, b2))
+    ext_new = jax.vmap(jax.vmap(jax.vmap(
+        lambda aa, bb: _ext_stem(dp, codes, n, aa, bb))))(
+        jnp.clip(a, 0, N - 1), jnp.clip(b2, 0, N - 1))
+    ext_sub = prange(pext, lo_sw, hi_sw)
+
+    dL = jnp.where(is_ext, ext_new - ext_sub,
+                   jnp.where(bLn == 1, il_new - eL, mlE_L - eL))
+
+    delta = ws["best_sE"] + innerE + gapsE + dL
+
+    unsupported = has & ((ngaps > G) | (nch[..., None] > C))
+    delta = jnp.where(has & ~unsupported, delta, 0)
+    return delta, unsupported, has, p0, q0, a, b2
+
+
+def _combo_pt(cfg, pt_parent, rloc, rslot, rpos, chosen_i, chosen_j,
+              chosen_run, chosen_on):
+    """Position-wise construction of a combination's pair table.
+
+    chosen_* are [R] candidate picks for this (parent, combo).  Every
+    position derives its new partner from its region's chosen stem."""
+    N, R = cfg.N, cfg.R
+    ii = jnp.arange(N, dtype=jnp.int32)
+    r = rslot                                          # [N]
+    rc = jnp.clip(r, 0, R - 1)
+    l = rloc                                           # [N] local index
+    ci = chosen_i[rc]
+    cj = chosen_j[rc]
+    crun = chosen_run[rc]
+    con = chosen_on[rc] & (r >= 0)
+
+    in5 = con & (l > ci - crun) & (l <= ci)
+    in3 = con & (l >= cj) & (l < cj + crun)
+    rflat = rpos.reshape(-1)
+    part5 = rflat[jnp.clip(rc * N + cj + (ci - l), 0, R * N - 1)]
+    part3 = rflat[jnp.clip(rc * N + ci - (l - cj), 0, R * N - 1)]
+    return jnp.where(in5, part5, jnp.where(in3, part3, pt_parent))
+
+
+# ======================================================================
+# the engine
+# ======================================================================
+
+class FoldEngine:
+    """Compiled batched fold engine for one (config, batch-size) pair."""
+
+    def __init__(self, cfg: EngineConfig, B: int):
+        self.cfg = cfg
+        self.B = B
+        self.dp = device_params(cfg.temp, max_len=cfg.N)
+        self.W = weight_matrix(cfg.gc_wei, cfg.au_wei, cfg.gu_wei)
+        self.integral = _weights_integral(cfg)
+        rng = np.random.default_rng(0xA5F7)
+        self.Z1 = jnp.asarray(
+            rng.integers(1, 2**32 - 1, cfg.N + 1, dtype=np.uint64).astype(np.uint32))
+        self.Z2 = jnp.asarray(
+            rng.integers(1, 2**32 - 1, cfg.N + 1, dtype=np.uint64).astype(np.uint32))
+        self._step = jax.jit(self._step_impl)
+
+    # ---------------- state
+    def init_state(self, seqs: list[str]):
+        cfg, B = self.cfg, self.B
+        assert len(seqs) <= B
+        codes = np.zeros((B, cfg.N), np.int32)
+        n = np.zeros(B, np.int32)
+        for b, s in enumerate(seqs):
+            c = encode_sequence(s)
+            assert len(c) <= cfg.N, (len(c), cfg.N)
+            codes[b, : len(c)] = c
+            n[b] = len(c)
+        pt = np.full((B, cfg.K, cfg.N), -1, np.int32)
+        energy = np.zeros((B, cfg.K), np.int32)
+        active = np.zeros((B, cfg.K), bool)
+        active[:, 0] = n > 0
+        rorder = np.full((B, cfg.K, cfg.R), -2, np.int32)
+        rorder[:, 0, 0] = -1          # exterior region of the unfolded root
+        return dict(
+            codes=jnp.asarray(codes), n=jnp.asarray(n),
+            pt=jnp.asarray(pt), energy=jnp.asarray(energy),
+            active=jnp.asarray(active), rorder=jnp.asarray(rorder),
+            seen_h1=jnp.zeros((B, cfg.S), jnp.uint32),
+            seen_h2=jnp.zeros((B, cfg.S), jnp.uint32),
+            seen_cnt=jnp.zeros(B, jnp.int32),
+            done=jnp.asarray(n == 0),
+            cplx_dropped=jnp.zeros(B, jnp.int32),
+        )
+
+    def _hash(self, pt):
+        v = (pt + 2).astype(jnp.uint32)
+        h1 = (v * self.Z1[: self.cfg.N]).sum(axis=-1)
+        h2 = (v * self.Z2[: self.cfg.N]).sum(axis=-1)
+        return h1, h2
+
+    # ---------------- one step for one sequence (vmapped over batch)
+    def _seq_step(self, codes, n, pt, energy, active, rorder,
+                  seen_h1, seen_h2, seen_cnt, done, cplx_dropped):
+        cfg, dp = self.cfg, self.dp
+        K, R, M, N, V = cfg.K, cfg.R, cfg.M, cfg.N, cfg.V
+
+        keys = (_kmer_keys(codes, 5), _kmer_keys(codes, 6), _kmer_keys(codes, 8))
+
+        # ---- analyze beam
+        loops = jax.vmap(lambda p: analyze_pt(dp, codes, p, n))(pt)
+        enclose = loops["enclose"]
+
+        rpos, rloc, rslot, mlen = _regions(cfg, pt, enclose, rorder, n)
+        rcodes = jnp.where(rpos < N, codes[jnp.clip(rpos, 0, N - 1)], 0)
+
+        cor = _correlate(cfg, self.W, rcodes, mlen, self.integral)
+        lags, lvals = _top_lags(cfg, cor)
+        lag_ok = (lvals > NEG / 2) & (mlen[:, :, None] >= 2) & active[:, None, None]
+
+        ws = _window_scan(cfg, dp, self.W, rcodes, rpos, mlen, lags, lag_ok)
+        delta, cplx, has, p0, q0, a, b2 = _candidate_delta(
+            cfg, dp, codes, n, keys, pt, loops, rorder, rpos, mlen, ws, lags)
+
+        # ---- complex candidates: full eval under budget
+        flat_cplx = (cplx & lag_ok).reshape(-1)
+        order_c = jnp.argsort(~flat_cplx)            # complex first
+        c_idx = order_c[: cfg.CPLX]
+        c_on = flat_cplx[c_idx]
+
+        def build_cand_pt(fi):
+            k = fi // (R * M)
+            r = (fi // M) % R
+            mm = fi % M
+            return _combo_pt(
+                cfg, pt[k], rloc[k], rslot[k], rpos[k],
+                jnp.where(jnp.arange(R) == r, ws["max_i"][k, r, mm], 0),
+                jnp.where(jnp.arange(R) == r, ws["max_j"][k, r, mm], 0),
+                jnp.where(jnp.arange(R) == r, ws["max_nb"][k, r, mm], 0),
+                jnp.arange(R) == r)
+
+        cand_pts = jax.vmap(build_cand_pt)(c_idx)
+        cand_E = jax.vmap(lambda p: eval_pt(dp, codes, p, n))(cand_pts)
+        parent_E = energy.reshape(K)[jnp.clip(c_idx // (R * M), 0, K - 1)]
+        c_delta = cand_E - parent_E
+        delta_flat = delta.reshape(-1)
+        delta_flat = delta_flat.at[c_idx].set(
+            jnp.where(c_on, c_delta, delta_flat[c_idx]))
+        delta = delta_flat.reshape(K, R, M)
+        resolved = jnp.zeros((K * R * M,), bool).at[c_idx].set(c_on).reshape(K, R, M)
+        dropped = (cplx & lag_ok & ~resolved).sum()
+
+        # ---- acceptance (reference float32 semantics)
+        e32 = jnp.float32(energy)[:, None, None]
+        dnrj = (e32 + jnp.float32(delta)) / jnp.float32(100.0) \
+            - e32 / jnp.float32(100.0)
+        usable = has & lag_ok & (~cplx | resolved)
+        accept = usable & (dnrj < jnp.float32(cfg.min_nrj))
+
+        # ---- per-region candidate order: (dnrj asc, lag-rank asc)
+        sort_key = jnp.where(accept, dnrj, jnp.float32(3e38))
+        ordm = jnp.argsort(sort_key, axis=-1, stable=True)
+        s_r = accept.sum(axis=-1).astype(jnp.int32)            # [K,R]
+
+        # ---- combination enumeration (overflow-safe clamped products)
+        part = (s_r > 0)
+        sz = jnp.where(part, s_r, 1)
+        CLAMP = jnp.int32(1 << 20)
+        combos_k = jnp.ones((K,), jnp.int32)
+        for r in range(R):
+            combos_k = jnp.minimum(combos_k * sz[:, r], CLAMP)
+        combos_k = jnp.where(part.any(axis=-1), combos_k, 0)
+        combos_k = jnp.minimum(combos_k, V)
+        cum = jnp.cumsum(combos_k)
+        total = cum[-1]
+
+        v = jnp.arange(V, dtype=jnp.int32)
+        kv = jnp.searchsorted(cum, v, side="right").astype(jnp.int32)
+        kvc = jnp.clip(kv, 0, K - 1)
+        local = v - jnp.where(kv > 0, cum[jnp.clip(kv - 1, 0, K - 1)], 0)
+        v_ok = (v < total) & ~done
+
+        szk = sz[kvc]                                          # [V,R]
+        # stride_r = prod of sizes after r (last region varies fastest);
+        # clamped iterative product avoids int32 overflow — any stride
+        # > V only ever divides local < V, so the clamp is lossless
+        stride_cols = []
+        acc = jnp.ones((V,), jnp.int32)
+        for r in range(R - 1, -1, -1):
+            stride_cols.append(acc)
+            acc = jnp.minimum(acc * szk[:, r], CLAMP)
+        stride = jnp.stack(stride_cols[::-1], axis=-1)         # [V,R]
+        idx_r = (local[:, None] // stride) % szk               # [V,R]
+        cand_m = jnp.take_along_axis(ordm[kvc], idx_r[..., None],
+                                     axis=-1)[..., 0]          # [V,R]
+        on_r = part[kvc]                                       # [V,R]
+
+        def pick(field):
+            return jnp.take_along_axis(
+                field[kvc].reshape(V, R, M), cand_m[..., None], axis=-1)[..., 0]
+
+        ch_i = pick(ws["max_i"])
+        ch_j = pick(ws["max_j"])
+        ch_run = pick(ws["max_nb"])
+        ch_delta = pick(delta)
+        ch_p0 = pick(p0)
+        ch_a = pick(a)
+        ch_lin = ch_j - ch_i - 1
+        ch_m = mlen[kvc]
+
+        new_pt = jax.vmap(
+            lambda vv: _combo_pt(cfg, pt[kvc[vv]], rloc[kvc[vv]],
+                                 rslot[kvc[vv]], rpos[kvc[vv]],
+                                 ch_i[vv], ch_j[vv], ch_run[vv], on_r[vv]))(
+            jnp.arange(V))
+        new_E = energy[kvc] + jnp.where(on_r, ch_delta, 0).sum(axis=-1)
+
+        # ---- child region order: per parent region -> [inner, outer]
+        par_lab = rorder[kvc]                                  # [V,R]
+        inner_ok = on_r & (ch_lin > 0)
+        i_loc0 = ch_i - ch_run + 1
+        outer_ok = on_r & ((i_loc0 > 0) | (ch_j + ch_run < ch_m))
+        lab2 = jnp.stack([jnp.where(inner_ok, ch_p0, -2),
+                          jnp.where(outer_ok, par_lab, -2)], axis=-1)
+        lab2 = lab2.reshape(V, 2 * R)
+        key_order = jnp.where(lab2 > -2,
+                              jnp.arange(2 * R, dtype=jnp.int32)[None, :],
+                              jnp.int32(2 * R + 1))
+        take = jnp.argsort(key_order, axis=-1)[:, :R]
+        new_rorder = jnp.take_along_axis(lab2, take, axis=-1)
+
+        # ---- dedup + cap
+        h1, h2 = self._hash(new_pt)
+        sc = jnp.arange(cfg.S) < seen_cnt
+        in_seen = ((h1[:, None] == seen_h1[None, :])
+                   & (h2[:, None] == seen_h2[None, :])
+                   & sc[None, :]).any(axis=-1)
+        # first occurrence within the new set, by enumeration order
+        ordh = jnp.lexsort((v, h1, h2))
+        h1s = h1[ordh]
+        h2s = h2[ordh]
+        first_s = jnp.concatenate([
+            jnp.array([True]),
+            (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])])
+        vok_s = v_ok[ordh]
+        first = jnp.zeros(V, bool).at[ordh].set(first_s)
+
+        acceptable = v_ok & first & ~in_seen
+        rank = jnp.cumsum(acceptable.astype(jnp.int32)) - 1
+        newmask = acceptable & (rank < cfg.max_branch)
+
+        # insert into seen
+        slot = jnp.where(newmask, seen_cnt + rank, cfg.S - 1)
+        seen_h1 = seen_h1.at[slot].set(jnp.where(newmask, h1, seen_h1[slot]))
+        seen_h2 = seen_h2.at[slot].set(jnp.where(newmask, h2, seen_h2[slot]))
+        seen_cnt = jnp.minimum(seen_cnt + newmask.sum(), cfg.S - 1)
+
+        # ---- pool (new before old on ties) and truncate to K
+        INFE = jnp.int32(2**30)
+        pool_E = jnp.concatenate([jnp.where(newmask, new_E, INFE),
+                                  jnp.where(active, energy, INFE)])
+        tie = jnp.concatenate([v, V + jnp.arange(K, dtype=jnp.int32)])
+        order_p = jnp.lexsort((tie, pool_E))[: K]
+        sel_new = order_p < V
+        src_new = jnp.clip(order_p, 0, V - 1)
+        src_old = jnp.clip(order_p - V, 0, K - 1)
+
+        beam_pt = jnp.where(sel_new[:, None], new_pt[src_new], pt[src_old])
+        beam_E = jnp.where(sel_new, new_E[src_new], energy[src_old])
+        beam_act = jnp.where(sel_new, newmask[src_new], active[src_old])
+        beam_ror = jnp.where(sel_new[:, None], new_rorder[src_new],
+                             rorder[src_old])
+
+        bh1, _ = self._hash(beam_pt)
+        oh1, _ = self._hash(pt)
+        unchanged = jnp.all((bh1 == oh1) & (beam_act == active)
+                            | (~beam_act & ~active))
+        new_done = done | unchanged
+
+        keep = ~done
+        pt = jnp.where(keep, beam_pt, pt)
+        energy = jnp.where(keep, beam_E, energy)
+        active = jnp.where(keep, beam_act, active)
+        rorder = jnp.where(keep, beam_ror, rorder)
+        cplx_dropped = cplx_dropped + jnp.where(keep, dropped, 0)
+
+        return (pt, energy, active, rorder, seen_h1, seen_h2, seen_cnt,
+                new_done, cplx_dropped)
+
+    def _step_impl(self, state):
+        out = jax.vmap(self._seq_step)(
+            state["codes"], state["n"], state["pt"], state["energy"],
+            state["active"], state["rorder"], state["seen_h1"],
+            state["seen_h2"], state["seen_cnt"], state["done"],
+            state["cplx_dropped"])
+        (pt, energy, active, rorder, sh1, sh2, scnt, done, cd) = out
+        st = dict(state)
+        st.update(pt=pt, energy=energy, active=active, rorder=rorder,
+                  seen_h1=sh1, seen_h2=sh2, seen_cnt=scnt, done=done,
+                  cplx_dropped=cd)
+        return st
+
+    # ---------------- host API
+    def run(self, seqs, collect_traj=False):
+        state = self.init_state(seqs)
+        traj = []
+        for _ in range(self.cfg.max_steps):
+            if bool(np.asarray(state["done"]).all()):
+                break
+            if collect_traj:
+                traj.append(self._beams(state, len(seqs)))
+            state = self._step(state)
+        beams = self._beams(state, len(seqs))
+        if collect_traj:
+            return beams, traj, state
+        return beams, state
+
+    def _beams(self, state, nseq):
+        from rafft_tpu.struct import dot_bracket
+
+        pt = np.asarray(state["pt"])
+        E = np.asarray(state["energy"])
+        act = np.asarray(state["active"])
+        n = np.asarray(state["n"])
+        out = []
+        for b in range(nseq):
+            rows = []
+            for k in range(self.cfg.K):
+                if not act[b, k]:
+                    continue
+                pairs = [(i, int(pt[b, k, i])) for i in range(n[b])
+                         if pt[b, k, i] > i]
+                db = dot_bracket(pairs, int(n[b]))
+                rows.append((db, float(np.float32(int(E[b, k]) / 100.0))))
+            out.append(rows)
+        return out
+
+
+def fold_one(sequence, nb_mode=100, max_stack=1, max_branch=100, min_hp=3,
+             min_nrj=0.0, traj=False, temp=37.0, gc_wei=3.0, au_wei=2.0,
+             gu_wei=1.0):
+    """Single-sequence convenience API on the TPU engine (reference
+    fold() signature)."""
+    from rafft_tpu.struct import Structure
+
+    N = 1 << max(5, int(np.ceil(np.log2(max(8, len(sequence))))))
+    cfg = EngineConfig(N=N, K=max_stack, M=nb_mode, max_branch=max_branch,
+                       min_hp=min_hp, min_nrj=min_nrj, temp=temp,
+                       gc_wei=gc_wei, au_wei=au_wei, gu_wei=gu_wei,
+                       V=min(1024, max(64, max_branch)),
+                       R=16 if N <= 512 else 32)
+    eng = FoldEngine(cfg, B=1)
+    if traj:
+        beams, steps, _ = eng.run([sequence], collect_traj=True)
+        mk = lambda rows: [Structure([], [], e, db) for db, e in rows]
+        return mk(beams[0]), [mk(s[0]) for s in steps]
+    beams, _ = eng.run([sequence])
+    return [Structure([], [], e, db) for db, e in beams[0]]

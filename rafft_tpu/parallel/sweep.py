@@ -1,0 +1,185 @@
+"""Length-bucketed, data-parallel benchmark sweep.
+
+TPU-native replacement for the reference's per-sequence subprocess fan-out
+(/root/reference/benchmark_results/bench_fft.py): sequences are bucketed
+by padded length, folded in device-resident batches on a ('data',) mesh,
+scored with the built-in slip-rule scorer, and written as the reference's
+result-CSV schema `seq,len_seq,struct,nrj,nbp,pvv,sens,name`
+(scoring.py:119-127).
+
+Per-bucket checkpointing: each finished bucket's rows are flushed to
+<out>.part.<N>; a restart skips completed buckets (the failure-recovery
+capability the reference lacks, SURVEY.md section 5).
+
+CLI:
+  python -m rafft_tpu.parallel.sweep --csv <benchmark.csv> --out results.csv \
+      -n 100 -ms 50 [--limit 200] [--buckets 64,128,256] [--batch 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import time
+
+import numpy as np
+
+DEFAULT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def load_benchmark_csv(path):
+    """Rows of (seq, true_struct, name)."""
+    out = []
+    with open(path) as fh:
+        for row in csv.reader(fh):
+            if len(row) >= 3:
+                out.append((row[0], row[1], row[2]))
+    return out
+
+
+def bucket_of(n, buckets):
+    for b in buckets:
+        if n <= b:
+            return b
+    return None
+
+
+def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
+          buckets=DEFAULT_BUCKETS, batch=16, mesh=None, best_of_k=False,
+          progress=None, checkpoint=None):
+    """Fold every record; returns list of result dicts in input order.
+
+    best_of_k: also report all max_stack saved structures (for the
+    best-PPV selection used by fft_*_scores.csv)."""
+    from rafft_tpu.engine.fold_jax import FoldEngine, EngineConfig
+    from rafft_tpu.scoring import score_structures, best_of
+    from rafft_tpu.parallel.mesh import shard_state
+
+    by_bucket: dict[int, list[int]] = {}
+    for i, (seq, _t, _n) in enumerate(records):
+        b = bucket_of(len(seq), buckets)
+        if b is not None:
+            by_bucket.setdefault(b, []).append(i)
+
+    results = [None] * len(records)
+    done_buckets = set()
+    if checkpoint and os.path.exists(checkpoint):
+        with open(checkpoint) as fh:
+            for line in fh:
+                row = json.loads(line)
+                results[row.pop("_idx")] = row
+                done_buckets.add(row.pop("_bucket"))
+
+    for N, idxs in sorted(by_bucket.items()):
+        if N in done_buckets:
+            continue
+        R = 16 if N <= 512 else 32
+        cfg = EngineConfig(N=N, K=max_stack, M=nb_mode, R=R,
+                           max_branch=max_branch,
+                           V=min(1024, max(128, max_branch)),
+                           S=4096 if N <= 512 else 8192)
+        eng = FoldEngine(cfg, B=batch)
+        t_bucket = time.time()
+        for off in range(0, len(idxs), batch):
+            chunk = idxs[off: off + batch]
+            seqs = [records[i][0] for i in chunk]
+            state = eng.init_state(seqs)
+            if mesh is not None:
+                state = shard_state(state, mesh)
+            for _ in range(cfg.max_steps):
+                if bool(np.asarray(state["done"]).all()):
+                    break
+                state = eng._step(state)
+            beams = eng._beams(state, len(seqs))
+            for i, rows in zip(chunk, beams):
+                seq, true_db, name = records[i]
+                if not rows:
+                    rows = [("." * len(seq), 0.0)]
+                db, e = rows[0]
+                if best_of_k:
+                    ppv, sens, db_best = best_of([d for d, _ in rows], true_db)
+                    e = dict(rows)[db_best]
+                    db = db_best
+                else:
+                    ppv, sens = score_structures(db, true_db)
+                results[i] = dict(seq=seq, len_seq=len(seq), struct=db,
+                                  nrj=float(np.float32(e)),
+                                  nbp=db.count("("), pvv=ppv, sens=sens,
+                                  name=name)
+            if progress:
+                progress(N, off + len(chunk), len(idxs))
+        if checkpoint:
+            with open(checkpoint, "a") as fh:
+                for i in idxs:
+                    if results[i] is not None:
+                        row = dict(results[i])
+                        row["_idx"] = i
+                        row["_bucket"] = N
+                        fh.write(json.dumps(row) + "\n")
+        if progress:
+            progress(N, len(idxs), len(idxs),
+                     done=True, secs=time.time() - t_bucket)
+    return results
+
+
+def write_results_csv(results, path):
+    with open(path, "w") as fh:
+        fh.write("seq,len_seq,struct,nrj,nbp,pvv,sens,name\n")
+        for r in results:
+            if r is None:
+                continue
+            fh.write("{seq},{len_seq},{struct},{nrj},{nbp},{pvv},{sens},{name}\n"
+                     .format(**r))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--csv", required=True, help="benchmark csv (seq,true,name)")
+    ap.add_argument("--out", required=True, help="output results csv")
+    ap.add_argument("-n", "--n_mode", type=int, default=100)
+    ap.add_argument("-ms", "--max_stack", type=int, default=50)
+    ap.add_argument("--max_branch", type=int, default=1000)
+    ap.add_argument("--limit", type=int, help="only first N records")
+    ap.add_argument("--max_len", type=int, help="skip longer sequences")
+    ap.add_argument("--buckets", default=",".join(map(str, DEFAULT_BUCKETS)))
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--best_of_k", action="store_true")
+    ap.add_argument("--devices", type=int, help="data-parallel device count")
+    ap.add_argument("--checkpoint", help="bucket-resume journal path")
+    args = ap.parse_args(argv)
+
+    records = load_benchmark_csv(args.csv)
+    if args.max_len:
+        records = [r for r in records if len(r[0]) <= args.max_len]
+    if args.limit:
+        records = records[: args.limit]
+
+    mesh = None
+    if args.devices and args.devices > 1:
+        from rafft_tpu.parallel.mesh import data_mesh
+        mesh = data_mesh(args.devices)
+
+    def progress(N, done_n, total, done=False, secs=None):
+        if done:
+            print(f"[bucket {N}] {total} seqs in {secs:.1f}s "
+                  f"({total/max(secs,1e-9):.2f} seq/s)", flush=True)
+
+    t0 = time.time()
+    results = sweep(records, nb_mode=args.n_mode, max_stack=args.max_stack,
+                    max_branch=args.max_branch,
+                    buckets=tuple(int(x) for x in args.buckets.split(",")),
+                    batch=args.batch, mesh=mesh, best_of_k=args.best_of_k,
+                    progress=progress, checkpoint=args.checkpoint)
+    dt = time.time() - t0
+    write_results_csv(results, args.out)
+    ok = [r for r in results if r]
+    mean_ppv = np.mean([r["pvv"] for r in ok]) if ok else 0.0
+    mean_sens = np.mean([r["sens"] for r in ok]) if ok else 0.0
+    print(f"{len(ok)} sequences in {dt:.1f}s ({len(ok)/dt:.2f} seq/s); "
+          f"mean PPV {mean_ppv:.2f} mean sens {mean_sens:.2f}")
+
+
+if __name__ == "__main__":
+    main()

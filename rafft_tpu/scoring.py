@@ -1,0 +1,56 @@
+"""Self-contained PPV/sensitivity scorer.
+
+Replaces the external RNAstructure `scorer` binary used by the reference
+(/root/reference/benchmark_results/scoring.py:106-113).  Implements the
+scorer's standard slip rule: a predicted pair (i, j) counts as correct if
+the accepted structure contains (i, j), (i+-1, j) or (i, j+-1); symmetric
+for sensitivity.
+
+  PPV         = correct predicted pairs / predicted pairs
+  sensitivity = found known pairs / known pairs
+
+Both reported as percentages with 2 decimals (scorer log format).
+"""
+
+from __future__ import annotations
+
+from rafft_tpu.struct import paired_positions
+
+
+def _slip_hits(pairs, target_set):
+    hits = 0
+    for i, j in pairs:
+        if ((i, j) in target_set or (i + 1, j) in target_set
+                or (i - 1, j) in target_set or (i, j + 1) in target_set
+                or (i, j - 1) in target_set):
+            hits += 1
+    return hits
+
+
+def score_pairs(pred_pairs, true_pairs):
+    """Returns (ppv, sensitivity) in percent (0..100)."""
+    pred = list(pred_pairs)
+    true = list(true_pairs)
+    tset = set(true)
+    pset = set(pred)
+    ppv = 100.0 * _slip_hits(pred, tset) / len(pred) if pred else 0.0
+    sens = 100.0 * _slip_hits(true, pset) / len(true) if true else 0.0
+    return round(ppv, 2), round(sens, 2)
+
+
+def score_structures(pred_db: str, true_db: str):
+    """Score two dot-bracket strings (pseudoknot brackets supported in
+    the accepted structure, as in .ct ground truth)."""
+    return score_pairs(paired_positions(pred_db), paired_positions(true_db))
+
+
+def best_of(pred_dbs, true_db):
+    """Best-PPV structure among a list (reference's best-of-k selection,
+    get_best_score.py semantics: >= keeps the *last* maximum)."""
+    true_pairs = paired_positions(true_db)
+    best = (0.0, 0.0, "." * len(true_db))
+    for db in pred_dbs:
+        ppv, sens = score_pairs(paired_positions(db), true_pairs)
+        if ppv >= best[0]:
+            best = (ppv, sens, db)
+    return best
