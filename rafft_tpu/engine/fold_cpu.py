@@ -42,19 +42,37 @@ from rafft_tpu.struct import Structure, dot_bracket, merge_pair_list
 
 
 class _Oracle:
-    """Memoised full-structure energy evaluation for one sequence."""
+    """Memoised full-structure energy evaluation for one sequence.
+
+    Uses the native C++ evaluator when available (bit-identical tables,
+    ~100x faster than the Python path), else eval_np."""
 
     def __init__(self, sequence: str, temperature: float):
         self.seq = sequence
         self.params = get_params(temperature)
         self.n = len(sequence)
         self._cache: dict[frozenset, float] = {}
+        self._native = None
+        try:
+            from rafft_tpu.native import native_oracle
+
+            self._native = native_oracle(temperature)
+        except Exception:
+            self._native = None
+        self._codes8 = encode_sequence(sequence).astype(np.int8)
 
     def __call__(self, pair_list) -> float:
         key = frozenset(pair_list)
         e = self._cache.get(key)
         if e is None:
-            e_int = eval_structure_int(self.seq, list(key), self.params)
+            if self._native is not None:
+                pt = np.full(self.n, -1, np.int32)
+                for pi, pj in key:
+                    pt[pi] = pj
+                    pt[pj] = pi
+                e_int = self._native(self._codes8, pt)
+            else:
+                e_int = eval_structure_int(self.seq, list(key), self.params)
             e = float(np.float32(e_int / 100.0))
             self._cache[key] = e
         return e
