@@ -2,11 +2,17 @@ import os
 import sys
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware (the driver separately dry-runs them).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware.  NOTE: this environment force-sets
+# JAX_PLATFORMS=axon during jax import (the plugin overrides the env var),
+# so the override must go through jax.config after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

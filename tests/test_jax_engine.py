@@ -1,0 +1,73 @@
+"""TPU/JAX engine tests.
+
+These run on the CPU backend (tests/conftest.py forces JAX_PLATFORMS=cpu
+with a virtual 8-device mesh); the heavy golden-parity runs live in the
+slow markers and are also exercised on real TPU by the driver via
+__graft_entry__ / bench.py."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import reference_available
+
+needs_ref = pytest.mark.skipif(not reference_available(), reason="no reference checkout")
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    from rafft_tpu.engine.fold_jax import FoldEngine, EngineConfig
+
+    cfg = EngineConfig(N=32, K=2, R=4, M=8, V=16, CPLX=8, S=64,
+                       max_branch=16, max_steps=6)
+    return FoldEngine(cfg, B=2)
+
+
+def test_tiny_fold_matches_cpu(tiny_engine):
+    from rafft_tpu.engine.fold_cpu import fold
+
+    seqs = ["GGGAAACCCAAAGGGAAACCC", "GCGCUUCGGCGCGC"]
+    beams, _ = tiny_engine.run(seqs)
+    for seq, rows in zip(seqs, beams):
+        ref = fold(seq, nb_mode=8, max_stack=2, max_branch=16)
+        got = [(db, e) for db, e in rows]
+        want = [(s.str_struct, s.energy) for s in ref]
+        assert got == want, (seq, got, want)
+
+
+def test_sharded_step_runs(tiny_engine):
+    import jax
+
+    from rafft_tpu.parallel.mesh import data_mesh, shard_state
+
+    mesh = data_mesh(2)
+    seqs = ["GGGAAACCCAAAGGGAAACCC", "GCGCUUCGGCGCGC"]
+    state = tiny_engine.init_state(seqs)
+    state = shard_state(state, mesh)
+    out = tiny_engine._step(state)
+    jax.block_until_ready(out["pt"])
+    assert bool(np.asarray(out["active"])[:, 0].all())
+
+
+def test_dryrun_multichip_entry():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+@needs_ref
+@pytest.mark.slow
+def test_jax_engine_golden_ms5():
+    from rafft_tpu.engine.fold_jax import fold_one
+
+    golden = open("/root/reference/example/rafft.out").read()
+    seq = golden.splitlines()[0]
+    res, traj = fold_one(seq, nb_mode=100, max_stack=5, max_branch=1000,
+                         traj=True)
+    lines = [seq]
+    for si, step in enumerate(traj):
+        lines.append("# {:-^20}".format(si))
+        for st in step:
+            lines.append(f"{st.str_struct} {st.energy:6.1f}")
+    assert "\n".join(lines) + "\n" == golden
