@@ -15,7 +15,7 @@ Public API (mirrors the reference 2-function surface,
 
 __version__ = "0.1.0"
 
-__all__ = ["fold", "kinetics", "__version__"]
+__all__ = ["fold", "kinetics", "mfe_fold", "__version__"]
 
 
 def __getattr__(name):
@@ -29,4 +29,9 @@ def __getattr__(name):
         from rafft_tpu.kin.kinetics import kinetics
 
         return kinetics
+    if name == "mfe_fold":
+        # MFE baseline (the reference's RNA.fold role)
+        from rafft_tpu.mfe import mfe_fold
+
+        return mfe_fold
     raise AttributeError(name)

@@ -8,6 +8,7 @@
 //
 // Build: python rafft_tpu/native/build.py   (g++ -O3 -shared -fPIC)
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -239,5 +240,230 @@ void turner_eval_batch(const int8_t* codes, const int32_t* pts, int32_t n,
                        int32_t stride, int32_t count, int32_t* out) {
   for (int b = 0; b < count; ++b)
     out[b] = turner_eval(codes, pts + (size_t)b * stride, n);
+}
+}
+
+// ======================================================================
+// MFE folding (Zuker DP) under the same Turner-2004 / d2-dangle model.
+//
+// Native replacement for the reference's RNA.fold baseline
+// (benchmark_results/src/vrna_mfe.py:24) — the only remaining ViennaRNA
+// capability the framework did not yet own.  Recurrences:
+//   C(i,j)  = min(hairpin, interior(<=MAXLOOP), ml_close + split(fML,fML))
+//   fML     = multiloop segment with >=1 stem (affine ML model)
+//   F(j)    = exterior prefix with d2 terminal-mismatch stems
+// All arithmetic int32 dekacal -> bit-stable; traceback recomputes
+// choices (no backpointer storage), preferring hairpin, then interior
+// (p ascending, q descending), then multiloop, mirroring ViennaRNA's
+// backtrack order so co-optimal structures usually match too.
+// ======================================================================
+
+namespace {
+
+const int32_t MFE_INF = 1 << 28;
+const int MAXLOOP = 30;
+
+inline bool canon(int a, int b) {
+  static const int tbl[5][5] = {
+      {0, 0, 0, 0, 0},
+      {0, 0, 0, 0, 1},
+      {0, 0, 0, 1, 0},
+      {0, 0, 1, 0, 1},
+      {0, 1, 0, 1, 0}};
+  return tbl[a][b] != 0;
+}
+
+inline int32_t ml_stem_ij(const int8_t* s, int n, int i, int j) {
+  return ml_stem(s, n, ptype(s[i], s[j]), i - 1, j + 1);
+}
+
+struct MfeDP {
+  int n;
+  const int8_t* s;
+  std::vector<int32_t> C, M;  // n*n, row-major [i*n+j]
+  std::vector<int32_t> F;     // n+1, F[j] = exterior MFE of s[0..j-1]
+
+  int32_t c(int i, int j) const { return C[(size_t)i * n + j]; }
+  int32_t m(int i, int j) const { return M[(size_t)i * n + j]; }
+
+  int32_t interior_best(int i, int j, int* bp = nullptr, int* bq = nullptr) {
+    int32_t best = MFE_INF;
+    int pmax = i + MAXLOOP + 1;
+    if (pmax > j - 5) pmax = j - 5;
+    for (int p = i + 1; p <= pmax; ++p) {
+      int n1 = p - i - 1;
+      int qmin = j - 1 - (MAXLOOP - n1);
+      if (qmin < p + 4) qmin = p + 4;
+      for (int q = j - 1; q >= qmin; --q) {
+        if (!canon(s[p], s[q])) continue;
+        int32_t cc = c(p, q);
+        if (cc >= MFE_INF) continue;
+        int32_t e = int_loop_e(s, i, j, p, q) + cc;
+        if (e < best) {
+          best = e;
+          if (bp) { *bp = p; *bq = q; }
+        }
+      }
+    }
+    return best;
+  }
+
+  int32_t ml_close_best(int i, int j, int* bu = nullptr) {
+    // min over u of fML(i+1,u) + fML(u+1,j-1), plus closing-stem terms
+    int32_t best = MFE_INF;
+    for (int u = i + 5; u <= j - 6; ++u) {
+      int32_t a = m(i + 1, u), b = m(u + 1, j - 1);
+      if (a >= MFE_INF || b >= MFE_INF) continue;
+      int32_t e = a + b;
+      if (e < best) {
+        best = e;
+        if (bu) *bu = u;
+      }
+    }
+    if (best >= MFE_INF) return MFE_INF;
+    return best + P.ml_closing +
+           ml_stem(s, n, ptype(s[j], s[i]), j - 1, i + 1);
+  }
+
+  void fill() {
+    C.assign((size_t)n * n, MFE_INF);
+    M.assign((size_t)n * n, MFE_INF);
+    for (int i = n - 2; i >= 0; --i) {
+      for (int j = i + 4; j < n; ++j) {
+        // ---- C
+        if (canon(s[i], s[j])) {
+          int32_t e = hairpin_e(s, i, j, n);
+          int32_t il = interior_best(i, j);
+          if (il < e) e = il;
+          int32_t ml = ml_close_best(i, j);
+          if (ml < e) e = ml;
+          C[(size_t)i * n + j] = e;
+        }
+        // ---- fML
+        int32_t e = MFE_INF;
+        int32_t v = m(i + 1, j);
+        if (v < MFE_INF) e = v + P.ml_base;
+        v = m(i, j - 1);
+        if (v < MFE_INF && v + P.ml_base < e) e = v + P.ml_base;
+        v = c(i, j);
+        if (v < MFE_INF) {
+          int32_t st = v + ml_stem_ij(s, n, i, j);
+          if (st < e) e = st;
+        }
+        for (int u = i + 4; u <= j - 5; ++u) {
+          int32_t a = m(i, u), b = m(u + 1, j);
+          if (a < MFE_INF && b < MFE_INF && a + b < e) e = a + b;
+        }
+        M[(size_t)i * n + j] = e;
+      }
+    }
+    F.assign(n + 1, 0);
+    for (int j = 4; j < n; ++j) {
+      int32_t best = F[j];  // j unpaired (F indexed by position: F[j] uses 0..j)
+      for (int i = 0; i <= j - 4; ++i) {
+        int32_t cc = c(i, j);
+        if (cc >= MFE_INF) continue;
+        int32_t e = (i > 0 ? F[i] : 0) + cc + ext_stem(s, n, i, j);
+        if (e < best) best = e;
+      }
+      F[j + 1] = best;
+    }
+    // F[k] = MFE of prefix s[0..k-1]; F[0]=F[1..4]=0 handled by init+loop
+    for (int j = 1; j <= 4 && j <= n; ++j) F[j] = 0;
+  }
+
+  void traceback(int32_t* pt) {
+    for (int k = 0; k < n; ++k) pt[k] = -1;
+    std::vector<std::array<int, 3>> stk;  // {kind: 0=F,1=C,2=M, i, j}
+    stk.push_back({0, 0, n - 1});
+    while (!stk.empty()) {
+      auto [kind, i, j] = stk.back();
+      stk.pop_back();
+      if (kind == 0) {
+        // exterior segment [0..j]
+        int jj = j;
+        while (jj >= 4) {
+          if (F[jj + 1] == F[jj]) { --jj; continue; }
+          bool found = false;
+          for (int i2 = 0; i2 <= jj - 4; ++i2) {
+            int32_t cc = c(i2, jj);
+            if (cc >= MFE_INF) continue;
+            if ((i2 > 0 ? F[i2] : 0) + cc + ext_stem(s, n, i2, jj) ==
+                F[jj + 1]) {
+              pt[i2] = jj;
+              pt[jj] = i2;
+              stk.push_back({1, i2, jj});
+              jj = i2 - 1;
+              found = true;
+              break;
+            }
+          }
+          if (!found) --jj;  // defensive: should not happen
+        }
+      } else if (kind == 1) {
+        int32_t target = c(i, j);
+        if (target == hairpin_e(s, i, j, n)) continue;
+        int bp = -1, bq = -1;
+        int32_t il = interior_best(i, j, &bp, &bq);
+        if (il == target) {
+          pt[bp] = bq;
+          pt[bq] = bp;
+          stk.push_back({1, bp, bq});
+          continue;
+        }
+        int bu = -1;
+        if (ml_close_best(i, j, &bu) == target && bu >= 0) {
+          stk.push_back({2, i + 1, bu});
+          stk.push_back({2, bu + 1, j - 1});
+        }
+      } else {
+        // multiloop segment
+        int ii = i, jj = j;
+        while (ii < jj) {
+          int32_t target = m(ii, jj);
+          if (target >= MFE_INF) break;
+          if (ii + 1 <= jj && m(ii + 1, jj) < MFE_INF &&
+              target == m(ii + 1, jj) + P.ml_base) { ++ii; continue; }
+          if (jj - 1 >= ii && m(ii, jj - 1) < MFE_INF &&
+              target == m(ii, jj - 1) + P.ml_base) { --jj; continue; }
+          if (c(ii, jj) < MFE_INF &&
+              target == c(ii, jj) + ml_stem_ij(s, n, ii, jj)) {
+            pt[ii] = jj;
+            pt[jj] = ii;
+            stk.push_back({1, ii, jj});
+            break;
+          }
+          bool split = false;
+          for (int u = ii + 4; u <= jj - 5; ++u) {
+            if (m(ii, u) < MFE_INF && m(u + 1, jj) < MFE_INF &&
+                target == m(ii, u) + m(u + 1, jj)) {
+              stk.push_back({2, ii, u});
+              ii = u + 1;
+              split = true;
+              break;
+            }
+          }
+          if (!split) break;  // defensive
+        }
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int32_t turner_mfe(const int8_t* codes, int32_t n, int32_t* pt_out) {
+  if (n < 5) {
+    for (int k = 0; k < n; ++k) pt_out[k] = -1;
+    return 0;
+  }
+  MfeDP dp;
+  dp.n = n;
+  dp.s = codes;
+  dp.fill();
+  dp.traceback(pt_out);
+  return dp.F[n];
 }
 }
