@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from rafft_tpu.energy.params import EnergyParams, get_params
 from rafft_tpu.energy import _turner2004 as T
+from rafft_tpu.engine.lookup import flat_lookup, table_lookup
 
 INT_MISS = np.int32(np.iinfo(np.int32).min)
 
@@ -84,15 +85,11 @@ def device_params(temperature: float = 37.0, max_len: int = 4096) -> DeviceParam
 
 
 def _g(table, *idx):
-    """Multi-index table lookup as a single flat 1-D gather (TPU-friendly:
-    generalized multi-dim gathers lower poorly on the VPU)."""
-    flat = table.reshape(-1)
-    strides = np.cumprod((1,) + table.shape[:0:-1])[::-1]
+    """Multi-index table lookup, lowered to the TPU-fast formulation
+    (one-hot einsum for small-table/large-index, flat gather otherwise;
+    see engine/lookup.py for the measured pathology)."""
     assert len(idx) == len(table.shape)
-    lin = idx[0] * int(strides[0])
-    for s, ix in zip(strides[1:], idx[1:]):
-        lin = lin + ix * int(s)
-    return flat[lin]
+    return table_lookup(table, *idx)
 
 
 def _ptype(dp, a, b):
@@ -103,7 +100,8 @@ def _ptype(dp, a, b):
 def _sget(codes, i, n):
     """codes[i] with 0 (N) outside [0, n)."""
     ok = (i >= 0) & (i < n)
-    return jnp.where(ok, codes[jnp.clip(i, 0, codes.shape[0] - 1)], 0)
+    return jnp.where(
+        ok, flat_lookup(codes, jnp.clip(i, 0, codes.shape[0] - 1)), 0)
 
 
 def _kmer_keys(codes: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -119,12 +117,15 @@ def _kmer_keys(codes: jnp.ndarray, k: int) -> jnp.ndarray:
 def _hairpin(dp, codes, n, i, j, key5, key6, key8):
     size = j - i - 1
     t = _ptype(dp, _sget(codes, i, n), _sget(codes, j, n))
-    e = dp.hairpin[jnp.clip(size, 0, dp.hairpin.shape[0] - 1)]
+    e = flat_lookup(dp.hairpin, jnp.clip(size, 0, dp.hairpin.shape[0] - 1))
     mism = _g(dp.mmh, t, _sget(codes, i + 1, n), _sget(codes, j - 1, n))
 
-    tri_e = dp.tri[jnp.clip(key5[i], 0, dp.tri.shape[0] - 1)]
-    tet_e = dp.tetra[jnp.clip(key6[i], 0, dp.tetra.shape[0] - 1)]
-    hex_e = dp.hexa[jnp.clip(key8[i], 0, dp.hexa.shape[0] - 1)]
+    k5 = flat_lookup(key5, i)
+    k6 = flat_lookup(key6, i)
+    k8 = flat_lookup(key8, i)
+    tri_e = flat_lookup(dp.tri, jnp.clip(k5, 0, dp.tri.shape[0] - 1))
+    tet_e = flat_lookup(dp.tetra, jnp.clip(k6, 0, dp.tetra.shape[0] - 1))
+    hex_e = flat_lookup(dp.hexa, jnp.clip(k8, 0, dp.hexa.shape[0] - 1))
 
     generic = e + mism
     tri_out = jnp.where(tri_e != INT_MISS, tri_e,
@@ -153,7 +154,7 @@ def _int_loop(dp, codes, n, i, j, q, r):
 
     stack_e = _g(dp.stack, t1, t2)
 
-    blg = dp.bulge[jnp.clip(nl, 0, dp.bulge.shape[0] - 1)]
+    blg = flat_lookup(dp.bulge, jnp.clip(nl, 0, dp.bulge.shape[0] - 1))
     bulge_e = blg + jnp.where(
         nl == 1, stack_e,
         jnp.where(t1 > 2, dp.terminal_au, 0) + jnp.where(t2 > 2, dp.terminal_au, 0))
@@ -164,14 +165,14 @@ def _int_loop(dp, codes, n, i, j, q, r):
     i21 = jnp.where(n1 == 1, i21a, i21b)
 
     ninio = jnp.minimum(dp.ninio_max, (nl - ns) * dp.ninio_m)
-    onexn = (dp.internal[jnp.clip(nl + 1, 0, dp.internal.shape[0] - 1)]
+    onexn = (flat_lookup(dp.internal, jnp.clip(nl + 1, 0, dp.internal.shape[0] - 1))
              + ninio + _g(dp.mm1n, t1, si1, sj1) + _g(dp.mm1n, t2, sq1, sp1))
 
     i22 = _g(dp.int22, t1, t2, si1, sp1, sq1, sj1)
     l23 = (dp.internal[5] + dp.ninio_m
            + _g(dp.mm23, t1, si1, sj1) + _g(dp.mm23, t2, sq1, sp1))
 
-    generic = (dp.internal[jnp.clip(nl + ns, 0, dp.internal.shape[0] - 1)]
+    generic = (flat_lookup(dp.internal, jnp.clip(nl + ns, 0, dp.internal.shape[0] - 1))
                + ninio + _g(dp.mmi, t1, si1, sj1) + _g(dp.mmi, t2, sq1, sp1))
 
     ns1 = jnp.where(nl == 1, i11, jnp.where(nl == 2, i21, onexn))
@@ -252,10 +253,8 @@ def eval_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
     q = jnp.clip(first_child, 0, N - 1)
     r = jnp.clip(pt[q], 0, N - 1)
 
-    hp = jax.vmap(lambda a, b_: _hairpin(dp, codes, n, a, b_, key5, key6, key8))(
-        i_o, j_o)
-    il = jax.vmap(lambda a, b_, qq, rr: _int_loop(dp, codes, n, a, b_, qq, rr))(
-        i_o, j_o, q, r)
+    hp = _hairpin(dp, codes, n, i_o, j_o, key5, key6, key8)
+    il = _int_loop(dp, codes, n, i_o, j_o, q, r)
     tc = _ptype(dp, _sget_vec(codes, j_o, n), _sget_vec(codes, i_o, n))
     ml = (dp.ml_closing + mlsum
           + _ml_stem(dp, tc, _sget_vec(codes, j_o - 1, n),
@@ -263,7 +262,7 @@ def eval_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
     loop_e = jnp.where(branches == 0, hp,
                        jnp.where(branches == 1, il, ml))
 
-    ext = jax.vmap(lambda a, b_: _ext_stem(dp, codes, n, a, b_))(i_o, j_o)
+    ext = _ext_stem(dp, codes, n, i_o, j_o)
 
     total = jnp.sum(jnp.where(op_valid, loop_e, 0))
     total += jnp.sum(jnp.where(op_valid & (parent[op] == -1), ext, 0))
@@ -272,7 +271,8 @@ def eval_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
 
 def _sget_vec(codes, idx, n):
     ok = (idx >= 0) & (idx < n)
-    return jnp.where(ok, codes[jnp.clip(idx, 0, codes.shape[0] - 1)], 0)
+    return jnp.where(
+        ok, flat_lookup(codes, jnp.clip(idx, 0, codes.shape[0] - 1)), 0)
 
 
 def analyze_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
@@ -319,10 +319,8 @@ def analyze_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
     j_o = jnp.clip(pt, 0, N - 1)
     q = jnp.clip(first_child, 0, N - 1)
     r = jnp.clip(pt[q], 0, N - 1)
-    hp = jax.vmap(lambda a, b_: _hairpin(dp, codes, n, a, b_, key5, key6, key8))(
-        ii, j_o)
-    il = jax.vmap(lambda a, b_, qq, rr: _int_loop(dp, codes, n, a, b_, qq, rr))(
-        ii, j_o, q, r)
+    hp = _hairpin(dp, codes, n, ii, j_o, key5, key6, key8)
+    il = _int_loop(dp, codes, n, ii, j_o, q, r)
     tc = _ptype(dp, _sget_vec(codes, j_o, n), _sget_vec(codes, ii, n))
     ml = (dp.ml_closing + mlsum
           + _ml_stem(dp, tc, _sget_vec(codes, j_o - 1, n),
@@ -330,7 +328,7 @@ def analyze_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
     loop_e = jnp.where(branches == 0, hp, jnp.where(branches == 1, il, ml))
     loop_e = jnp.where(is_open, loop_e, 0)
 
-    ext = jax.vmap(lambda a, b_: _ext_stem(dp, codes, n, a, b_))(ii, j_o)
+    ext = _ext_stem(dp, codes, n, ii, j_o)
     energy = (jnp.sum(loop_e)
               + jnp.sum(jnp.where(is_open & (enclose == -1), ext, 0))
               ).astype(jnp.int32)

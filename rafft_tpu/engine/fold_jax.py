@@ -52,6 +52,7 @@ from rafft_tpu.energy.eval_jax import (device_params, analyze_pt, eval_pt,
                                        _ext_stem, _int_loop, _hairpin,
                                        _kmer_keys)
 from rafft_tpu.scan.encode import CHANNEL_CODES, weight_matrix
+from rafft_tpu.engine.lookup import flat_lookup, batched_taa, diag_extract
 
 NEG = jnp.float32(-3.0e38)
 
@@ -63,7 +64,7 @@ class EngineConfig:
     R: int = 8            # max regions per structure
     M: int = 100          # lags searched per region (nb_mode)
     V: int = 256          # combination slots per step per sequence
-    CPLX: int = 128       # complex-candidate full-eval budget per sequence
+    CPLX: int = 512       # complex-candidate full-eval budget per sequence/step
     S: int = 2048         # seen-set capacity per sequence
     max_steps: int = 24
     max_branch: int = 1000
@@ -145,16 +146,79 @@ def _top_lags(cfg, cor):
 def _window_scan(cfg, dp, W, rcodes, rpos, mlen, lags, lag_ok):
     """Vectorised window-slide over all (k, r, m) lanes at once.
 
-    Returns per-candidate best run info + stack-energy prefix + complex
-    flag, all [K,R,M]."""
+    TPU strategy: every lane's window is the anti-diagonal ip + jp = lag
+    of the (region-local) pair matrix, so all positions a lane will ever
+    visit are gathered ONCE into [H, K, R, M] diagonal arrays (one big
+    gather each); the neighbour values the recurrence needs (ip-1, jp+1)
+    are shifts along the diagonal.  The reference recurrence then runs as
+    a sequential elementwise loop over H with zero gathers inside — each
+    step reads one [K,R,M] slab of the precomputed arrays — with a
+    dynamic trip count (no lane scans past its own window's half, and
+    regions shrink fast after the first fold step).
+
+    Returns per-candidate best run info + stack-energy prefix, all
+    [K,R,M]."""
     K, R, M, N = cfg.K, cfg.R, cfg.M, cfg.N
     H = N // 2 + 1
-    Wj = jnp.asarray(W, dtype=jnp.float32)
 
     m = mlen[:, :, None]                                   # [K,R,1]
     lag = lags                                             # [K,R,M]
     w_width = jnp.where(lag < m, lag + 1, 2 * m - lag - 1)
     half = w_width // 2 + (w_width % 2)
+    base = jnp.maximum(lag - m + 1, 0)                     # [K,R,M]
+
+    io = jnp.arange(H, dtype=jnp.int32)[:, None, None, None]
+    idx5 = base[None] + io                                 # [H,K,R,M] = ip
+    idx3 = lag[None] - idx5                                #           = jp
+
+    # both diagonals of (codes, positions) in two one-hot einsums; the
+    # small-table lookups below are select chains / one-hot dots — all
+    # TPU-fast formulations (see engine/lookup.py)
+    T2 = jnp.stack([rcodes, rpos], axis=-1)                # [K,R,N,2]
+    d5 = diag_extract(T2, jnp.clip(idx5, 0, N - 1))
+    d3 = diag_extract(T2, jnp.clip(idx3, 0, N - 1))
+    c5 = d5[..., 0].astype(jnp.int32)
+    p5 = d5[..., 1].astype(jnp.int32)
+    c3 = d3[..., 0].astype(jnp.int32)
+    p3 = d3[..., 1].astype(jnp.int32)
+
+    def shift1(x, fill):                       # value at diagonal step i-1
+        return jnp.concatenate(
+            [jnp.full_like(x[:1], fill), x[:-1]], axis=0)
+
+    c5m = shift1(c5, 0)                        # rcodes[ip-1]
+    c3p = shift1(c3, 0)                        # rcodes[jp+1]
+    p5m = shift1(p5, -9)                       # rpos[ip-1]
+    p3p = shift1(p3, -9)                       # rpos[jp+1]
+
+    # pair weight + pair type via sparse select chains (W and PAIR_TYPE
+    # have only 6 nonzero entries each); both tables are host constants
+    Wn = np.asarray(W, dtype=np.float32)
+    PTn = np.asarray(dp.pair_type)
+
+    def wchain(a, b):
+        lin = a * 5 + b
+        out = jnp.zeros(lin.shape, jnp.float32)
+        for v, x in enumerate(Wn.reshape(-1)):
+            if x != 0:
+                out = jnp.where(lin == v, jnp.float32(x), out)
+        return out
+
+    def pchain(a, b):
+        lin = a * 5 + b
+        out = jnp.full(lin.shape, jnp.int32(7))
+        for v, x in enumerate(PTn.reshape(-1)):
+            if x != 0:
+                out = jnp.where(lin == v, jnp.int32(x), out)
+        return out
+
+    w = wchain(c5, c3)                                       # [H,K,R,M] f32
+    contig = (io > 0) & (p5 - p5m == 1) & (p3p - p3 == 1)
+    # stack energy between pair (ip-1, jp+1) [outer] and (ip, jp)
+    g = flat_lookup(dp.stack.reshape(-1),
+                    pchain(c5m, c3p) * 8 + pchain(c3, c5))
+    in_win = (io < half[None]) & lag_ok[None]
+    upd_ok = in_win & ((p3 - p5) > cfg.min_hp)
 
     shape = (K, R, M)
     state = dict(
@@ -168,50 +232,30 @@ def _window_scan(cfg, dp, W, rcodes, rpos, mlen, lags, lag_ok):
         best_sE=jnp.zeros(shape, jnp.int32),
     )
 
-    def gpos(arr, idx):
-        # arr [K,R,N] gathered at idx [K,R,M] -> [K,R,M]
-        return jnp.take_along_axis(arr, jnp.clip(idx, 0, N - 1), axis=-1)
-
     def body(i, st):
-        ip = jnp.where(lag < m, i, lag - m + 1 + i)
-        jp = jnp.where(lag < m, lag - i, m - 1 - i)
-        ipc = jnp.clip(ip, 0, N - 1)
-        jpc = jnp.clip(jp, 0, N - 1)
-        ci = gpos(rcodes, ipc)
-        cj = gpos(rcodes, jpc)
-        w = Wj[ci, cj]
-
-        pi = gpos(rpos, ipc)
-        pim1 = gpos(rpos, ipc - 1)
-        pj = gpos(rpos, jpc)
-        pjp1 = gpos(rpos, jpc + 1)
-        contig = (i > 0) & (pi - pim1 == 1) & (pjp1 - pj == 1)
+        wi = w[i]
+        ci = contig[i]
+        gi = g[i]
+        iw = in_win[i]
+        uo = upd_ok[i]
 
         tot_prev = st["tot"]
-        tot = jnp.where(contig, (tot_prev + w) * w, w)
+        tot = jnp.where(ci, (tot_prev + wi) * wi, wi)
         tmp_max = jnp.where(tot == 0, 0, st["tmp_max"] + 1)
-
-        # stack energy between pair (ip-1, jp+1) [outer] and (ip, jp):
         # accumulates over contiguous steps of the current run; resets
         # when the run resets (tot==0); held (not added) across gap
         # steps — gap steps contribute their own multiloop term later
-        t_out = _ptype(dp, gpos(rcodes, ipc - 1), gpos(rcodes, jpc + 1))
-        t_in = _ptype(dp, cj, ci)
-        in_run = (tot != 0) & (tot_prev != 0) & contig
-        sE = jnp.where(tot == 0, 0,
-                       jnp.where(tot_prev == 0, 0,
-                                 jnp.where(in_run,
-                                           st["sE"] + _g(dp.stack, t_out, t_in),
-                                           st["sE"])))
-
-        in_win = (i < half) & lag_ok
-        gap_ok = pj - pi > cfg.min_hp
-        upd = in_win & gap_ok & (tot >= st["max_score"])
+        in_run = (tot != 0) & (tot_prev != 0) & ci
+        sE = jnp.where((tot == 0) | (tot_prev == 0), 0,
+                       jnp.where(in_run, st["sE"] + gi, st["sE"]))
+        upd = uo & (tot >= st["max_score"])
+        ip = base + i
+        jp = lag - ip
 
         st = dict(st)
-        st["tot"] = jnp.where(in_win, tot, st["tot"])
-        st["tmp_max"] = jnp.where(in_win, tmp_max, st["tmp_max"])
-        st["sE"] = jnp.where(in_win, sE, st["sE"])
+        st["tot"] = jnp.where(iw, tot, st["tot"])
+        st["tmp_max"] = jnp.where(iw, tmp_max, st["tmp_max"])
+        st["sE"] = jnp.where(iw, sE, st["sE"])
         st["max_score"] = jnp.where(upd, tot, st["max_score"])
         st["max_nb"] = jnp.where(upd, tmp_max, st["max_nb"])
         st["max_i"] = jnp.where(upd, ip, st["max_i"])
@@ -219,7 +263,17 @@ def _window_scan(cfg, dp, W, rcodes, rpos, mlen, lags, lag_ok):
         st["best_sE"] = jnp.where(upd, sE, st["best_sE"])
         return st
 
-    st = jax.lax.fori_loop(0, H, body, state)
+    h_dyn = jnp.minimum(jnp.max(jnp.where(lag_ok, half, 0)), jnp.int32(H))
+
+    def cond(carry):
+        i, _ = carry
+        return i < h_dyn
+
+    def wbody(carry):
+        i, st = carry
+        return i + 1, body(i, st)
+
+    _, st = jax.lax.while_loop(cond, wbody, (jnp.int32(0), state))
     return st
 
 
@@ -270,18 +324,21 @@ def _children(cfg, pt, loops, rorder, C):
 
 
 def _candidate_delta(cfg, dp, codes, n, keys, pt, loops, rorder,
-                     rpos, mlen, ws, lags, G=8, C=48):
+                     rpos, mlen, ws, lags, C=48):
     """Exact incremental integer dE for every candidate [K,R,M].
 
-    Handles the general case: a stem may jump excised gaps (each jump
-    creates a zero-unpaired multiloop between consecutive stem pairs),
-    its innermost pair may enclose old stems (hairpin / two-loop /
-    multiloop by child count), and the enclosing loop transitions by
-    gaining the stem and losing swallowed children — all resolved with
-    interval queries over per-loop child prefix sums.
+    Handles the dominant case exactly: the stem's innermost pair may
+    enclose old stems (hairpin / two-loop / multiloop by child count),
+    and the enclosing loop transitions by gaining the stem and losing
+    swallowed children — all resolved with interval queries over
+    per-loop child prefix sums.
 
-    Candidates with > G gap jumps or regions with > C children are
-    flagged unsupported (resolved by full evaluation under a budget)."""
+    Candidates whose stem jumps an excised gap (~1% in practice — each
+    jump creates a zero-unpaired multiloop mid-stem) or whose region has
+    > C children are flagged unsupported and resolved by full evaluation
+    under the CPLX budget.  Gap detection is O(1) per candidate via
+    prefix sums of the region's position discontinuities (no [K,R,M,H]
+    intermediate)."""
     K, R, M, N = cfg.K, cfg.R, cfg.M, cfg.N
     key5, key6, key8 = keys
 
@@ -289,7 +346,7 @@ def _candidate_delta(cfg, dp, codes, n, keys, pt, loops, rorder,
     has = run > 0
 
     def gpos(arr, idx):
-        return jnp.take_along_axis(arr, jnp.clip(idx, 0, N - 1), axis=-1)
+        return batched_taa(arr, jnp.clip(idx, 0, N - 1))
 
     i_s = ws["max_i"]
     j_s = ws["max_j"]
@@ -300,7 +357,7 @@ def _candidate_delta(cfg, dp, codes, n, keys, pt, loops, rorder,
 
     def cvec(idx):
         ok = (idx >= 0) & (idx < n)
-        return jnp.where(ok, codes[jnp.clip(idx, 0, N - 1)], 0)
+        return jnp.where(ok, flat_lookup(codes, jnp.clip(idx, 0, N - 1)), 0)
 
     def mlstem_at(x, y):
         t = _ptype(dp, cvec(x), cvec(y))
@@ -313,103 +370,55 @@ def _candidate_delta(cfg, dp, codes, n, keys, pt, loops, rorder,
 
     chs, pml, pspan, pext, nch = _children(cfg, pt, loops, rorder, C)
 
+    # rank queries into the sorted child-start lists: a compare-count
+    # reduction over the C=48 slots (elementwise + reduce beats a
+    # binary-search while_loop on the VPU by a wide margin)
     def ssr(q):  # first child index with start > q     [K,R,M]
-        return jax.vmap(jax.vmap(
-            lambda c, qq: jnp.searchsorted(c, qq, side="right")))(chs, q
-                                                                  ).astype(jnp.int32)
+        return (chs[:, :, None, :] <= q[..., None]).sum(-1).astype(jnp.int32)
 
     def ssl(q):  # first child index with start >= q
-        return jax.vmap(jax.vmap(
-            lambda c, qq: jnp.searchsorted(c, qq, side="left")))(chs, q
-                                                                 ).astype(jnp.int32)
+        return (chs[:, :, None, :] < q[..., None]).sum(-1).astype(jnp.int32)
 
     def prange(pref, lo, hi):
-        return (jnp.take_along_axis(pref, hi, axis=-1)
-                - jnp.take_along_axis(pref, lo, axis=-1))
+        return batched_taa(pref, hi) - batched_taa(pref, lo)
 
     # ---- inner loop closed by (p0, q0)
     lo_in = ssr(p0)
     hi_in = ssl(q0)
     cin = hi_in - lo_in
-    fc_in = jnp.take_along_axis(chs, jnp.clip(lo_in, 0, C - 1), axis=-1)
-    fc_in_e = jnp.take_along_axis(
+    fc_in = batched_taa(chs, jnp.clip(lo_in, 0, C - 1))
+    fc_in_e = batched_taa(
         jnp.broadcast_to(pt[:, None, :], (K, R, N)),
-        jnp.clip(fc_in, 0, N - 1), axis=-1)
+        jnp.clip(fc_in, 0, N - 1))
 
-    hpE = jax.vmap(jax.vmap(jax.vmap(
-        lambda aa, bb: _hairpin(dp, codes, n, aa, bb, key5, key6, key8))))(
-        jnp.clip(p0, 0, N - 1), jnp.clip(q0, 0, N - 1))
-    ilE = jax.vmap(jax.vmap(jax.vmap(
-        lambda i_, j_, q_, r_: _int_loop(dp, codes, n, i_, j_, q_, r_))))(
-        jnp.clip(p0, 0, N - 1), jnp.clip(q0, 0, N - 1),
-        jnp.clip(fc_in, 0, N - 1), jnp.clip(fc_in_e, 0, N - 1))
+    hpE = _hairpin(dp, codes, n, jnp.clip(p0, 0, N - 1),
+                   jnp.clip(q0, 0, N - 1), key5, key6, key8)
+    ilE = _int_loop(dp, codes, n, jnp.clip(p0, 0, N - 1),
+                    jnp.clip(q0, 0, N - 1), jnp.clip(fc_in, 0, N - 1),
+                    jnp.clip(fc_in_e, 0, N - 1))
     mlE_in = (dp.ml_closing + mlclose_at(p0, q0)
               + prange(pml, lo_in, hi_in))
     innerE = jnp.where(cin == 0, hpE, jnp.where(cin == 1, ilE, mlE_in))
 
-    # ---- gap-jump loops along the stem
-    # jump marker per scan step along each lag diagonal
-    m = mlen[:, :, None]
-    lag = lags
-    H = N // 2 + 1
-    iarr = jnp.arange(H, dtype=jnp.int32)
-
-    def step_idx(i):
-        ip = jnp.where(lag < m, i, lag - m + 1 + i)
-        jp = jnp.where(lag < m, lag - i, m - 1 - i)
-        return ip, jp
-
+    # ---- gap-jump detection (O(1) per candidate via prefix sums)
+    # A stem pair at scan step i pairs region-local indices (ip, lag-ip);
+    # consecutive stem pairs jump a gap iff the region positions are
+    # discontinuous at ip (5' side) or at jp+1 = lag-ip+1 (3' side).
+    # Over the whole run those local indices are the contiguous ranges
+    # (a_loc, i_s] and (j_s, b_loc], so a cumulative sum of the region's
+    # discontinuity markers answers "any gap in this stem?" with four
+    # gathers.  Gapped candidates go to the full-eval budget.
     jump5 = jnp.concatenate(
-        [jnp.zeros((K, R, 1), bool),
-         (rpos[..., 1:] - rpos[..., :-1]) > 1], axis=-1)  # [K,R,N]
+        [jnp.zeros((K, R, 1), jnp.int32),
+         ((rpos[..., 1:] - rpos[..., :-1]) > 1).astype(jnp.int32)], axis=-1)
+    cumJ = jnp.cumsum(jump5, axis=-1)                          # [K,R,N]
 
-    def jmp_at(i):
-        ip, jp = step_idx(i)
-        j5 = jnp.take_along_axis(jnp.broadcast_to(jump5[:, :, None, :],
-                                                  (K, R, M, N)),
-                                 jnp.clip(ip, 0, N - 1)[..., None],
-                                 axis=-1)[..., 0]
-        j3 = jnp.take_along_axis(jnp.broadcast_to(jump5[:, :, None, :],
-                                                  (K, R, M, N)),
-                                 jnp.clip(jp + 1, 0, N - 1)[..., None],
-                                 axis=-1)[..., 0]
-        return (j5 | j3) & (i > 0)
+    def gcum(idx):
+        return batched_taa(cumJ, jnp.clip(idx, 0, N - 1))
 
-    jmp = jax.vmap(jmp_at, in_axes=0, out_axes=-1)(iarr)       # [K,R,M,H]
-    cnt = jnp.cumsum(jmp.astype(jnp.int32), axis=-1)           # [K,R,M,H]
-
-    # ws stores region-local pair indices; convert to scan indices
-    # (identical for lag < m, shifted by lag-m+1 otherwise)
-    si_star = jnp.where(lag < m, i_s, i_s - (lag - m + 1))
-    si_start = si_star - run + 1
-    cnt_at = lambda i: jnp.take_along_axis(cnt, jnp.clip(i, 0, H - 1)[..., None],
-                                           axis=-1)[..., 0]
-    ngaps = jnp.where(run > 0, cnt_at(si_star) - cnt_at(si_start), 0)
-
-    base = cnt_at(si_start)
-
-    def gap_body(g, gapsE):
-        tgt = base + g + 1
-        i_g = jax.vmap(jax.vmap(jax.vmap(
-            lambda c, t: jnp.searchsorted(c, t, side="left"))))(cnt, tgt
-                                                                ).astype(jnp.int32)
-        on = (g < ngaps) & has
-        ip_g, jp_g = step_idx(i_g)
-        a_in = gpos(rpos, ip_g)
-        b_in = gpos(rpos, jp_g)
-        a_out = gpos(rpos, ip_g - 1)
-        b_out = gpos(rpos, jp_g + 1)
-        lo5 = ssr(a_out)
-        hi5 = ssl(a_in)
-        lo3 = ssr(b_in)
-        hi3 = ssl(b_out)
-        ge = (dp.ml_closing + mlclose_at(a_out, b_out)
-              + mlstem_at(a_in, b_in)
-              + prange(pml, lo5, hi5) + prange(pml, lo3, hi3))
-        return gapsE + jnp.where(on, ge, 0)
-
-    gapsE = jax.lax.fori_loop(0, G, gap_body,
-                              jnp.zeros((K, R, M), jnp.int32))
+    n5 = gcum(i_s) - gcum(i_s - run + 1)
+    n3 = gcum(j_s + run - 1) - gcum(j_s)
+    ngaps = jnp.where(run > 0, n5 + n3, 0)
 
     # ---- enclosing loop transition
     lab = jnp.broadcast_to(rorder[:, :, None], (K, R, M))
@@ -417,13 +426,13 @@ def _candidate_delta(cfg, dp, codes, n, keys, pt, loops, rorder,
     is_ext = lab == -1
 
     def perk(field):
-        return jnp.take_along_axis(
-            jnp.broadcast_to(field[:, None, :], (K, R, N)), labc, axis=-1)
+        return batched_taa(
+            jnp.broadcast_to(field[:, None, :], (K, R, N)), labc)
 
     bL = perk(loops["branches"])
     eL = perk(loops["loop_e"])
     ptb = jnp.broadcast_to(pt[:, None, :], (K, R, N))
-    j_lab = jnp.take_along_axis(ptb, labc, axis=-1)
+    j_lab = batched_taa(ptb, labc)
 
     lo_sw = ssr(a - 1)     # children with start >= a
     hi_sw = ssl(b2 + 1)    # children with start <= b2
@@ -431,25 +440,22 @@ def _candidate_delta(cfg, dp, codes, n, keys, pt, loops, rorder,
     mlsub = prange(pml, lo_sw, hi_sw)
     bLn = bL - sw + 1
 
-    il_new = jax.vmap(jax.vmap(jax.vmap(
-        lambda i_, j_, q_, r_: _int_loop(dp, codes, n, i_, j_, q_, r_))))(
-        labc, jnp.clip(j_lab, 0, N - 1), jnp.clip(a, 0, N - 1),
-        jnp.clip(b2, 0, N - 1))
-    ml_total = jnp.take_along_axis(
-        pml, jnp.broadcast_to(nch[..., None], (K, R, M)), axis=-1)
+    il_new = _int_loop(dp, codes, n, labc, jnp.clip(j_lab, 0, N - 1),
+                       jnp.clip(a, 0, N - 1), jnp.clip(b2, 0, N - 1))
+    ml_total = batched_taa(
+        pml, jnp.broadcast_to(nch[..., None], (K, R, M)))
     mlE_L = (dp.ml_closing + mlclose_at(lab, j_lab)
              + ml_total - mlsub + mlstem_at(a, b2))
-    ext_new = jax.vmap(jax.vmap(jax.vmap(
-        lambda aa, bb: _ext_stem(dp, codes, n, aa, bb))))(
-        jnp.clip(a, 0, N - 1), jnp.clip(b2, 0, N - 1))
+    ext_new = _ext_stem(dp, codes, n, jnp.clip(a, 0, N - 1),
+                        jnp.clip(b2, 0, N - 1))
     ext_sub = prange(pext, lo_sw, hi_sw)
 
     dL = jnp.where(is_ext, ext_new - ext_sub,
                    jnp.where(bLn == 1, il_new - eL, mlE_L - eL))
 
-    delta = ws["best_sE"] + innerE + gapsE + dL
+    delta = ws["best_sE"] + innerE + dL
 
-    unsupported = has & ((ngaps > G) | (nch[..., None] > C))
+    unsupported = has & ((ngaps > 0) | (nch[..., None] > C))
     delta = jnp.where(has & ~unsupported, delta, 0)
     return delta, unsupported, has, p0, q0, a, b2
 
@@ -524,6 +530,7 @@ class FoldEngine:
             seen_cnt=jnp.zeros(B, jnp.int32),
             done=jnp.asarray(n == 0),
             cplx_dropped=jnp.zeros(B, jnp.int32),
+            enum_suspect=jnp.zeros(B, jnp.int32),
         )
 
     def _hash(self, pt):
@@ -534,7 +541,8 @@ class FoldEngine:
 
     # ---------------- one step for one sequence (vmapped over batch)
     def _seq_step(self, codes, n, pt, energy, active, rorder,
-                  seen_h1, seen_h2, seen_cnt, done, cplx_dropped):
+                  seen_h1, seen_h2, seen_cnt, done, cplx_dropped,
+                  enum_suspect):
         cfg, dp = self.cfg, self.dp
         K, R, M, N, V = cfg.K, cfg.R, cfg.M, cfg.N, cfg.V
 
@@ -599,13 +607,18 @@ class FoldEngine:
         part = (s_r > 0)
         sz = jnp.where(part, s_r, 1)
         CLAMP = jnp.int32(1 << 20)
-        combos_k = jnp.ones((K,), jnp.int32)
+        prod_k = jnp.ones((K,), jnp.int32)
         for r in range(R):
-            combos_k = jnp.minimum(combos_k * sz[:, r], CLAMP)
-        combos_k = jnp.where(part.any(axis=-1), combos_k, 0)
-        combos_k = jnp.minimum(combos_k, V)
+            prod_k = jnp.minimum(prod_k * sz[:, r], CLAMP)
+        prod_k = jnp.where(part.any(axis=-1), prod_k, 0)
+        combos_k = jnp.minimum(prod_k, V)
         cum = jnp.cumsum(combos_k)
-        total = cum[-1]
+        total = jnp.minimum(cum[-1], V)
+        # slots actually granted to parent k inside the V-window; a parent
+        # whose true product got cut short is "truncated" (only harmful if
+        # the reference would still have walked that region — see suspect)
+        alloc_k = jnp.clip(V - (cum - combos_k), 0, combos_k)
+        trunc_k = alloc_k < prod_k
 
         v = jnp.arange(V, dtype=jnp.int32)
         kv = jnp.searchsorted(cum, v, side="right").astype(jnp.int32)
@@ -662,31 +675,60 @@ class FoldEngine:
         take = jnp.argsort(key_order, axis=-1)[:, :R]
         new_rorder = jnp.take_along_axis(lab2, take, axis=-1)
 
-        # ---- dedup + cap
+        # ---- dedup + the reference's nb_branch cap semantics
+        # (rafft.py:195-203: the counter counts NEW structures globally,
+        # the cap check runs after each processed combo, and `break` only
+        # exits the current parent's product loop — so after the cap each
+        # later parent still processes exactly its FIRST combo)
         h1, h2 = self._hash(new_pt)
         sc = jnp.arange(cfg.S) < seen_cnt
         in_seen = ((h1[:, None] == seen_h1[None, :])
                    & (h2[:, None] == seen_h2[None, :])
                    & sc[None, :]).any(axis=-1)
-        # first occurrence within the new set, by enumeration order
-        ordh = jnp.lexsort((v, h1, h2))
-        h1s = h1[ordh]
-        h2s = h2[ordh]
-        first_s = jnp.concatenate([
-            jnp.array([True]),
-            (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])])
-        vok_s = v_ok[ordh]
-        first = jnp.zeros(V, bool).at[ordh].set(first_s)
 
-        acceptable = v_ok & first & ~in_seen
-        rank = jnp.cumsum(acceptable.astype(jnp.int32)) - 1
-        newmask = acceptable & (rank < cfg.max_branch)
+        def first_occurrence(proc):
+            # first slot (by enumeration order) of each distinct hash
+            # among `proc` slots
+            ordh = jnp.lexsort((v, (~proc).astype(jnp.int32), h1, h2))
+            h1s = h1[ordh]
+            h2s = h2[ordh]
+            first_s = jnp.concatenate([
+                jnp.array([True]),
+                (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])])
+            return jnp.zeros(V, bool).at[ordh].set(first_s) & proc
 
-        # insert into seen
+        # pass 1: find where nb_branch reaches max_branch (the prefix up
+        # to that combo is processed unconditionally, so dedup over the
+        # full enumeration is valid there)
+        new1 = v_ok & first_occurrence(v_ok) & ~in_seen
+        nb1 = jnp.cumsum(new1.astype(jnp.int32))
+        capped = nb1[-1] >= cfg.max_branch
+        at_cap = new1 & (nb1 == cfg.max_branch)
+        cap_v = jnp.where(capped, jnp.argmax(at_cap).astype(jnp.int32),
+                          jnp.int32(V))
+        kcap = kv[jnp.clip(cap_v, 0, V - 1)]
+
+        # pass 2: the processed set (prefix + first-combo of later
+        # parents), re-deduplicated among itself
+        processed = v_ok & jnp.where(
+            capped, (v <= cap_v) | ((kv > kcap) & (local == 0)), True)
+        newmask = first_occurrence(processed) & ~in_seen
+        rank = jnp.cumsum(newmask.astype(jnp.int32)) - 1
+
+        # would the reference have enumerated combos we never built?
+        suspect = jnp.where(
+            capped,
+            (trunc_k & (jnp.arange(K, dtype=jnp.int32) <= kcap)).any(),
+            trunc_k.any()) & ~done
+
+        # insert into seen (capacity overflow voids dedup exactness ->
+        # flag the sequence for the CPU-parity fallback)
         slot = jnp.where(newmask, seen_cnt + rank, cfg.S - 1)
         seen_h1 = seen_h1.at[slot].set(jnp.where(newmask, h1, seen_h1[slot]))
         seen_h2 = seen_h2.at[slot].set(jnp.where(newmask, h2, seen_h2[slot]))
-        seen_cnt = jnp.minimum(seen_cnt + newmask.sum(), cfg.S - 1)
+        new_cnt = seen_cnt + newmask.sum()
+        suspect = suspect | (new_cnt > cfg.S - 1)
+        seen_cnt = jnp.minimum(new_cnt, cfg.S - 1)
 
         # ---- pool (new before old on ties) and truncate to K
         INFE = jnp.int32(2**30)
@@ -716,21 +758,22 @@ class FoldEngine:
         active = jnp.where(keep, beam_act, active)
         rorder = jnp.where(keep, beam_ror, rorder)
         cplx_dropped = cplx_dropped + jnp.where(keep, dropped, 0)
+        enum_suspect = enum_suspect + jnp.where(keep & suspect, 1, 0)
 
         return (pt, energy, active, rorder, seen_h1, seen_h2, seen_cnt,
-                new_done, cplx_dropped)
+                new_done, cplx_dropped, enum_suspect)
 
     def _step_impl(self, state):
         out = jax.vmap(self._seq_step)(
             state["codes"], state["n"], state["pt"], state["energy"],
             state["active"], state["rorder"], state["seen_h1"],
             state["seen_h2"], state["seen_cnt"], state["done"],
-            state["cplx_dropped"])
-        (pt, energy, active, rorder, sh1, sh2, scnt, done, cd) = out
+            state["cplx_dropped"], state["enum_suspect"])
+        (pt, energy, active, rorder, sh1, sh2, scnt, done, cd, es) = out
         st = dict(state)
         st.update(pt=pt, energy=energy, active=active, rorder=rorder,
                   seen_h1=sh1, seen_h2=sh2, seen_cnt=scnt, done=done,
-                  cplx_dropped=cd)
+                  cplx_dropped=cd, enum_suspect=es)
         return st
 
     # ---------------- host API
@@ -780,7 +823,8 @@ def fold_one(sequence, nb_mode=100, max_stack=1, max_branch=100, min_hp=3,
     cfg = EngineConfig(N=N, K=max_stack, M=nb_mode, max_branch=max_branch,
                        min_hp=min_hp, min_nrj=min_nrj, temp=temp,
                        gc_wei=gc_wei, au_wei=au_wei, gu_wei=gu_wei,
-                       V=min(1024, max(64, max_branch)),
+                       V=min(4096, max(256, 2 * max_branch)),
+                       S=max(4096, 16 * max_stack * 8),
                        R=16 if N <= 512 else 32)
     eng = FoldEngine(cfg, B=1)
     if traj:

@@ -1,0 +1,85 @@
+"""TPU-fast table lookups.
+
+On this TPU, XLA lowers a gather whose indices are computed on-device to
+a scalar-ish custom fusion running at ~1.2 GB/s — three orders of
+magnitude below elementwise throughput (measured: 83M-index gather from
+a 25-entry table = 810 ms; the same lookup as a one-hot einsum = tens of
+ms, because XLA fuses the iota-compare one-hot into the dot and the MXU
+does the selection).  These helpers pick the fast formulation by static
+shape:
+
+* one-hot einsum for small tables x large index sets (exact: the
+  one-hot dot multiplies each value by exactly 1.0 or 0.0, so any int32
+  value with |v| < 2^24 survives f32 untouched);
+* plain gather for big tables (one-hot flops would dominate) or small
+  index sets (gather overhead is negligible there).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# one-hot einsum pays off when the index set is large and the table is
+# small; thresholds from microbenchmarks (tools/microbench_gather.py)
+_MIN_IDX = 1 << 14
+_MAX_TAB = 2048
+
+
+def _nelem(x) -> int:
+    return int(np.prod(x.shape)) if x.shape else 1
+
+
+def flat_lookup(flat, lin):
+    """flat[lin] with the fast formulation chosen by static shape.
+
+    flat: 1-D values (int32/f32), lin: any-shape int32 indices assumed
+    in-range."""
+    n = flat.shape[0]
+    if _nelem(lin) < _MIN_IDX or n > _MAX_TAB:
+        return flat[lin]
+    oh = (lin[..., None] == jnp.arange(n, dtype=lin.dtype)).astype(jnp.float32)
+    out = jnp.einsum('...n,n->...', oh, flat.astype(jnp.float32))
+    if jnp.issubdtype(flat.dtype, jnp.integer):
+        return out.astype(flat.dtype)
+    return out.astype(flat.dtype)
+
+
+def table_lookup(table, *idx):
+    """table[idx0, idx1, ...] (multi-index) via flat_lookup."""
+    strides = np.cumprod((1,) + table.shape[:0:-1])[::-1]
+    lin = idx[0] * int(strides[0])
+    for s, ix in zip(strides[1:], idx[1:]):
+        lin = lin + ix * int(s)
+    return flat_lookup(table.reshape(-1), lin)
+
+
+def batched_taa(tab, idx):
+    """take_along_axis(tab, idx, axis=-1) where tab is [..., X] and idx
+    is [..., M] with the same leading dims — as a one-hot einsum when
+    the index set is large (same TPU gather pathology as flat_lookup).
+
+    Exact for integer values |v| < 2^24 and any f32 values (selection
+    multiplies by exactly 0.0/1.0)."""
+    X = tab.shape[-1]
+    if _nelem(idx) < _MIN_IDX or X > _MAX_TAB:
+        return jnp.take_along_axis(tab, idx, axis=-1)
+    oh = (idx[..., None] == jnp.arange(X, dtype=idx.dtype)).astype(jnp.float32)
+    out = jnp.einsum('...mx,...x->...m', oh, tab.astype(jnp.float32))
+    return out.astype(tab.dtype)
+
+
+def diag_extract(tabs, idx):
+    """Gather several [..., N] tables at a shared large index array.
+
+    tabs: [..., N, T] stacked values (all with |v| <= 2^24 exactly
+    representable; use small ints), idx: [H, ..., M] indices into N with
+    leading broadcast dim H.  Returns [H, ..., M, T] f32."""
+    N = tabs.shape[-2]
+    # bf16 one-hot selection is exact for values <= 256; the CPU backend
+    # has no bf16 dot, so fall back to f32 there (tests run on CPU)
+    dt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    oh = (idx[..., None] == jnp.arange(N, dtype=idx.dtype)).astype(dt)
+    return jnp.einsum('h...mn,...nt->h...mt', oh, tabs.astype(dt),
+                      preferred_element_type=jnp.float32)

@@ -64,6 +64,7 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
             by_bucket.setdefault(b, []).append(i)
 
     results = [None] * len(records)
+    n_fallback = 0
     done_buckets = set()
     if checkpoint and os.path.exists(checkpoint):
         with open(checkpoint) as fh:
@@ -93,6 +94,19 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
                     break
                 state = eng._step(state)
             beams = eng._beams(state, len(seqs))
+            # exactness escape hatch: the engine flags sequences whose
+            # combination enumeration window or complex-candidate budget
+            # was insufficient for bit-exact reference semantics; re-fold
+            # those on the sequential parity engine (rare)
+            flagged = (np.asarray(state["enum_suspect"])[: len(seqs)]
+                       + np.asarray(state["cplx_dropped"])[: len(seqs)])
+            for bi in np.nonzero(flagged > 0)[0]:
+                from rafft_tpu.engine.fold_cpu import fold as cpu_fold
+                structs = cpu_fold(seqs[bi], nb_mode=nb_mode,
+                                   max_stack=max_stack,
+                                   max_branch=max_branch)
+                beams[bi] = [(s.str_struct, s.energy) for s in structs]
+                n_fallback += 1
             for i, rows in zip(chunk, beams):
                 seq, true_db, name = records[i]
                 if not rows:
@@ -121,6 +135,9 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
         if progress:
             progress(N, len(idxs), len(idxs),
                      done=True, secs=time.time() - t_bucket)
+    if n_fallback:
+        print(f"[sweep] {n_fallback} sequences re-folded on the CPU "
+              f"parity engine (enumeration/budget flags)", flush=True)
     return results
 
 
