@@ -44,7 +44,7 @@ def main():
     B = 16
     n_seqs = 128
     seqs = seqs[:n_seqs]
-    cfg = EngineConfig(N=128, K=50, R=16, M=100, V=1024, S=4096,
+    cfg = EngineConfig(N=128, K=50, R=16, M=100, V=4096, S=16384,
                        max_branch=1000)
     eng = FoldEngine(cfg, B=B)
 

@@ -56,6 +56,10 @@ from rafft_tpu.engine.lookup import flat_lookup, batched_taa, diag_extract
 
 NEG = jnp.float32(-3.0e38)
 
+# filled with _candidate_delta intermediates when set to a dict (debug
+# tooling only; populated in eager mode, no effect under jit)
+DEBUG_CAPTURE = None
+
 
 @dataclass(frozen=True)
 class EngineConfig:
@@ -455,6 +459,15 @@ def _candidate_delta(cfg, dp, codes, n, keys, pt, loops, rorder,
 
     delta = ws["best_sE"] + innerE + dL
 
+    if DEBUG_CAPTURE is not None:
+        DEBUG_CAPTURE.update(innerE=innerE, dL=dL, cin=cin, hpE=hpE,
+                             ilE=ilE, mlE_in=mlE_in, bL=bL, bLn=bLn, sw=sw,
+                             il_new=il_new, eL=eL, is_ext=is_ext,
+                             ext_new=ext_new, ext_sub=ext_sub, mlE_L=mlE_L,
+                             a=a, b2=b2, p0=p0, q0=q0, ngaps=ngaps,
+                             lo_sw=lo_sw, hi_sw=hi_sw, fc_in=fc_in,
+                             fc_in_e=fc_in_e, lo_in=lo_in, hi_in=hi_in)
+
     unsupported = has & ((ngaps > 0) | (nch[..., None] > C))
     delta = jnp.where(has & ~unsupported, delta, 0)
     return delta, unsupported, has, p0, q0, a, b2
@@ -503,6 +516,7 @@ class FoldEngine:
         self.Z2 = jnp.asarray(
             rng.integers(1, 2**32 - 1, cfg.N + 1, dtype=np.uint64).astype(np.uint32))
         self._step = jax.jit(self._step_impl)
+        self._refill = jax.jit(self._refill_impl)
 
     # ---------------- state
     def init_state(self, seqs: list[str]):
@@ -532,6 +546,49 @@ class FoldEngine:
             cplx_dropped=jnp.zeros(B, jnp.int32),
             enum_suspect=jnp.zeros(B, jnp.int32),
         )
+
+    def _refill_impl(self, state, mask, codes_new, n_new):
+        """Reset masked batch slots to the unfolded root of new sequences
+        (continuous batching: finished slots take fresh work mid-flight)."""
+        cfg = self.cfg
+        K, R = cfg.K, cfg.R
+        m1 = mask[:, None]
+        m2 = mask[:, None, None]
+        kk = jnp.arange(K, dtype=jnp.int32)
+        root_active = (kk[None, :] == 0) & (n_new[:, None] > 0)
+        root_rorder = jnp.where((kk[:, None] == 0)
+                                & (jnp.arange(R)[None, :] == 0),
+                                jnp.int32(-1), jnp.int32(-2))
+        st = dict(state)
+        st["codes"] = jnp.where(m1, codes_new, state["codes"])
+        st["n"] = jnp.where(mask, n_new, state["n"])
+        st["pt"] = jnp.where(m2, jnp.int32(-1), state["pt"])
+        st["energy"] = jnp.where(m1, 0, state["energy"])
+        st["active"] = jnp.where(m1, root_active, state["active"])
+        st["rorder"] = jnp.where(m2, root_rorder[None], state["rorder"])
+        st["seen_h1"] = jnp.where(m1, jnp.uint32(0), state["seen_h1"])
+        st["seen_h2"] = jnp.where(m1, jnp.uint32(0), state["seen_h2"])
+        st["seen_cnt"] = jnp.where(mask, 0, state["seen_cnt"])
+        st["done"] = jnp.where(mask, n_new == 0, state["done"])
+        st["cplx_dropped"] = jnp.where(mask, 0, state["cplx_dropped"])
+        st["enum_suspect"] = jnp.where(mask, 0, state["enum_suspect"])
+        return st
+
+    def refill(self, state, slots, seqs):
+        """Host API: place `seqs` into batch slots `slots` (lists)."""
+        cfg, B = self.cfg, self.B
+        mask = np.zeros(B, bool)
+        codes = np.zeros((B, cfg.N), np.int32)
+        n = np.zeros(B, np.int32)
+        for b, s in zip(slots, seqs):
+            mask[b] = True
+            if s is not None:
+                c = encode_sequence(s)
+                assert len(c) <= cfg.N, (len(c), cfg.N)
+                codes[b, : len(c)] = c
+                n[b] = len(c)
+        return self._refill(state, jnp.asarray(mask), jnp.asarray(codes),
+                            jnp.asarray(n))
 
     def _hash(self, pt):
         v = (pt + 2).astype(jnp.uint32)
@@ -611,14 +668,28 @@ class FoldEngine:
         for r in range(R):
             prod_k = jnp.minimum(prod_k * sz[:, r], CLAMP)
         prod_k = jnp.where(part.any(axis=-1), prod_k, 0)
-        combos_k = jnp.minimum(prod_k, V)
+        # Slot allocation over the V-window: every participating parent
+        # is guaranteed its FIRST combo (the reference's post-cap quirk
+        # processes exactly that one for parents after the cap), then
+        # earlier parents take the remaining window in order.  A parent
+        # whose true product got cut short is "truncated" (only harmful
+        # if the reference would still have walked that region — see
+        # suspect below).
+        participating = prod_k > 0
+        nsuffix = jnp.cumsum(participating[::-1].astype(jnp.int32))[::-1]
+        combos_list = []
+        cumb = jnp.int32(0)
+        for k_ in range(K):
+            reserved_after = nsuffix[k_] - participating[k_].astype(jnp.int32)
+            budget = jnp.maximum(V - cumb - reserved_after, 1)
+            ck = jnp.minimum(prod_k[k_], budget)
+            ck = jnp.where(participating[k_], jnp.maximum(ck, 1), 0)
+            combos_list.append(ck)
+            cumb = cumb + ck
+        combos_k = jnp.stack(combos_list)
+        trunc_k = combos_k < prod_k
         cum = jnp.cumsum(combos_k)
         total = jnp.minimum(cum[-1], V)
-        # slots actually granted to parent k inside the V-window; a parent
-        # whose true product got cut short is "truncated" (only harmful if
-        # the reference would still have walked that region — see suspect)
-        alloc_k = jnp.clip(V - (cum - combos_k), 0, combos_k)
-        trunc_k = alloc_k < prod_k
 
         v = jnp.arange(V, dtype=jnp.int32)
         kv = jnp.searchsorted(cum, v, side="right").astype(jnp.int32)

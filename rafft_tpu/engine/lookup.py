@@ -40,9 +40,11 @@ def flat_lookup(flat, lin):
     if _nelem(lin) < _MIN_IDX or n > _MAX_TAB:
         return flat[lin]
     oh = (lin[..., None] == jnp.arange(n, dtype=lin.dtype)).astype(jnp.float32)
-    out = jnp.einsum('...n,n->...', oh, flat.astype(jnp.float32))
-    if jnp.issubdtype(flat.dtype, jnp.integer):
-        return out.astype(flat.dtype)
+    # HIGHEST precision is required for exactness: the default f32 dot
+    # on TPU rounds operands through bf16, corrupting any value that
+    # needs more than 8 mantissa bits (e.g. 751 -> 752)
+    out = jnp.einsum('...n,n->...', oh, flat.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
     return out.astype(flat.dtype)
 
 
@@ -66,7 +68,9 @@ def batched_taa(tab, idx):
     if _nelem(idx) < _MIN_IDX or X > _MAX_TAB:
         return jnp.take_along_axis(tab, idx, axis=-1)
     oh = (idx[..., None] == jnp.arange(X, dtype=idx.dtype)).astype(jnp.float32)
-    out = jnp.einsum('...mx,...x->...m', oh, tab.astype(jnp.float32))
+    # HIGHEST: see flat_lookup — default TPU f32 dots truncate to bf16
+    out = jnp.einsum('...mx,...x->...m', oh, tab.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
     return out.astype(tab.dtype)
 
 
@@ -77,9 +81,13 @@ def diag_extract(tabs, idx):
     representable; use small ints), idx: [H, ..., M] indices into N with
     leading broadcast dim H.  Returns [H, ..., M, T] f32."""
     N = tabs.shape[-2]
-    # bf16 one-hot selection is exact for values <= 256; the CPU backend
-    # has no bf16 dot, so fall back to f32 there (tests run on CPU)
-    dt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    # bf16 one-hot selection is exact only for values <= 256 (8
+    # significand bits); larger position values (N > 256 buckets) and
+    # the CPU backend (no bf16 dot) use an exact f32 HIGHEST dot
+    if N <= 256 and jax.default_backend() != "cpu":
+        dt, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
+    else:
+        dt, prec = jnp.float32, jax.lax.Precision.HIGHEST
     oh = (idx[..., None] == jnp.arange(N, dtype=idx.dtype)).astype(dt)
     return jnp.einsum('h...mn,...nt->h...mt', oh, tabs.astype(dt),
-                      preferred_element_type=jnp.float32)
+                      precision=prec, preferred_element_type=jnp.float32)

@@ -83,47 +83,73 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
                            S=4096 if N <= 512 else 8192)
         eng = FoldEngine(cfg, B=batch)
         t_bucket = time.time()
-        for off in range(0, len(idxs), batch):
-            chunk = idxs[off: off + batch]
-            seqs = [records[i][0] for i in chunk]
-            state = eng.init_state(seqs)
-            if mesh is not None:
-                state = shard_state(state, mesh)
-            for _ in range(cfg.max_steps):
-                if bool(np.asarray(state["done"]).all()):
-                    break
-                state = eng._step(state)
-            beams = eng._beams(state, len(seqs))
-            # exactness escape hatch: the engine flags sequences whose
-            # combination enumeration window or complex-candidate budget
-            # was insufficient for bit-exact reference semantics; re-fold
-            # those on the sequential parity engine (rare)
-            flagged = (np.asarray(state["enum_suspect"])[: len(seqs)]
-                       + np.asarray(state["cplx_dropped"])[: len(seqs)])
-            for bi in np.nonzero(flagged > 0)[0]:
+
+        def finish(i, rows, flagged):
+            seq, true_db, name = records[i]
+            if flagged:
+                # exactness escape hatch: the engine flags sequences whose
+                # combination enumeration window / complex-candidate budget
+                # / seen-set capacity could not guarantee bit-exact
+                # reference semantics; re-fold those on the sequential
+                # parity engine (rare)
                 from rafft_tpu.engine.fold_cpu import fold as cpu_fold
-                structs = cpu_fold(seqs[bi], nb_mode=nb_mode,
+                structs = cpu_fold(seq, nb_mode=nb_mode,
                                    max_stack=max_stack,
                                    max_branch=max_branch)
-                beams[bi] = [(s.str_struct, s.energy) for s in structs]
-                n_fallback += 1
-            for i, rows in zip(chunk, beams):
-                seq, true_db, name = records[i]
-                if not rows:
-                    rows = [("." * len(seq), 0.0)]
-                db, e = rows[0]
-                if best_of_k:
-                    ppv, sens, db_best = best_of([d for d, _ in rows], true_db)
-                    e = dict(rows)[db_best]
-                    db = db_best
-                else:
-                    ppv, sens = score_structures(db, true_db)
-                results[i] = dict(seq=seq, len_seq=len(seq), struct=db,
-                                  nrj=float(np.float32(e)),
-                                  nbp=db.count("("), pvv=ppv, sens=sens,
-                                  name=name)
+                rows = [(s.str_struct, s.energy) for s in structs]
+            if not rows:
+                rows = [("." * len(seq), 0.0)]
+            db, e = rows[0]
+            if best_of_k:
+                ppv, sens, db_best = best_of([d for d, _ in rows], true_db)
+                e = dict(rows)[db_best]
+                db = db_best
+            else:
+                ppv, sens = score_structures(db, true_db)
+            results[i] = dict(seq=seq, len_seq=len(seq), struct=db,
+                              nrj=float(np.float32(e)),
+                              nbp=db.count("("), pvv=ppv, sens=sens,
+                              name=name)
+
+        # continuous batching: finished slots immediately take fresh
+        # sequences so the chip never idles on the batch's slowest fold
+        pending = list(idxs)[::-1]            # pop() serves in order
+        slot_rec = [pending.pop() if pending else None for _ in range(batch)]
+        state = eng.init_state([records[i][0] for i in slot_rec
+                                if i is not None])
+        if mesh is not None:
+            state = shard_state(state, mesh)
+        n_done = 0
+        slot_steps = [0] * batch
+        while any(i is not None for i in slot_rec):
+            state = eng._step(state)
+            done = np.asarray(state["done"])
+            fins = []
+            for b in range(batch):
+                if slot_rec[b] is None:
+                    continue
+                slot_steps[b] += 1
+                if done[b] or slot_steps[b] >= cfg.max_steps * 2:
+                    fins.append(b)
+            if not fins:
+                continue
+            beams = eng._beams(state, batch)
+            flg = (np.asarray(state["enum_suspect"])
+                   + np.asarray(state["cplx_dropped"]))
+            for b in fins:
+                flagged = bool(flg[b] > 0) or not done[b]
+                n_fallback += int(flagged)
+                finish(slot_rec[b], beams[b], flagged)
+                n_done += 1
+            refill_seqs = []
+            for b in fins:
+                slot_rec[b] = pending.pop() if pending else None
+                slot_steps[b] = 0
+                refill_seqs.append(records[slot_rec[b]][0]
+                                   if slot_rec[b] is not None else None)
+            state = eng.refill(state, fins, refill_seqs)
             if progress:
-                progress(N, off + len(chunk), len(idxs))
+                progress(N, n_done, len(idxs))
         if checkpoint:
             with open(checkpoint, "a") as fh:
                 for i in idxs:
