@@ -30,6 +30,18 @@ from rafft_tpu.engine.lookup import flat_lookup, table_lookup
 INT_MISS = np.int32(np.iinfo(np.int32).min)
 
 
+def _special_items(table: dict):
+    """dict of k-mer string -> energy as [(base-5 key, value)] pairs."""
+    code = {c: i for i, c in enumerate("NACGU")}
+    out = []
+    for st, v in table.items():
+        key = 0
+        for ch in st:
+            key = key * 5 + code[ch]
+        out.append((key, int(v)))
+    return sorted(out)
+
+
 def _dense_special(table: dict, k: int) -> np.ndarray:
     """dict of k-mer string -> energy  =>  dense base-5 keyed array."""
     arr = np.full(5 ** k, INT_MISS, dtype=np.int32)
@@ -66,6 +78,11 @@ class DeviceParams:
         self.tetra = jnp.asarray(_dense_special(p.tetraloops, 6))
         self.tri = jnp.asarray(_dense_special(p.triloops, 5))
         self.hexa = jnp.asarray(_dense_special(p.hexaloops, 8))
+        # sparse (key, value) views for large-index select chains — the
+        # special-loop dicts have only ~2-30 entries each
+        self.tri_items = _special_items(p.triloops)
+        self.tetra_items = _special_items(p.tetraloops)
+        self.hexa_items = _special_items(p.hexaloops)
         self.terminal_au = jnp.int32(p.terminal_au)
         self.ml_closing = jnp.int32(p.ml_closing)
         self.ml_intern = jnp.int32(p.ml_intern)
@@ -123,9 +140,22 @@ def _hairpin(dp, codes, n, i, j, key5, key6, key8):
     k5 = flat_lookup(key5, i)
     k6 = flat_lookup(key6, i)
     k8 = flat_lookup(key8, i)
-    tri_e = flat_lookup(dp.tri, jnp.clip(k5, 0, dp.tri.shape[0] - 1))
-    tet_e = flat_lookup(dp.tetra, jnp.clip(k6, 0, dp.tetra.shape[0] - 1))
-    hex_e = flat_lookup(dp.hexa, jnp.clip(k8, 0, dp.hexa.shape[0] - 1))
+    n_idx = int(np.prod(k5.shape)) if k5.shape else 1
+    if n_idx >= (1 << 14) and hasattr(dp, "tri_items"):
+        # large index sets: ~2-30 real entries per table, so a select
+        # chain beats gathering from the 5^k dense arrays by ~10x
+        def chain(items, key):
+            out = jnp.full(key.shape, INT_MISS, dtype=jnp.int32)
+            for kk, vv in items:
+                out = jnp.where(key == kk, jnp.int32(vv), out)
+            return out
+        tri_e = chain(dp.tri_items, k5)
+        tet_e = chain(dp.tetra_items, k6)
+        hex_e = chain(dp.hexa_items, k8)
+    else:
+        tri_e = flat_lookup(dp.tri, jnp.clip(k5, 0, dp.tri.shape[0] - 1))
+        tet_e = flat_lookup(dp.tetra, jnp.clip(k6, 0, dp.tetra.shape[0] - 1))
+        hex_e = flat_lookup(dp.hexa, jnp.clip(k8, 0, dp.hexa.shape[0] - 1))
 
     generic = e + mism
     tri_out = jnp.where(tri_e != INT_MISS, tri_e,

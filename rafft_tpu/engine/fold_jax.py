@@ -52,7 +52,8 @@ from rafft_tpu.energy.eval_jax import (device_params, analyze_pt, eval_pt,
                                        _ext_stem, _int_loop, _hairpin,
                                        _kmer_keys)
 from rafft_tpu.scan.encode import CHANNEL_CODES, weight_matrix
-from rafft_tpu.engine.lookup import flat_lookup, batched_taa, diag_extract
+from rafft_tpu.engine.lookup import (flat_lookup, batched_taa,
+                                     diag_extract, row_lookup)
 
 NEG = jnp.float32(-3.0e38)
 
@@ -123,8 +124,15 @@ def _correlate(cfg, W, rcodes, mlen, integral):
     N = cfg.N
     ch = jnp.asarray(CHANNEL_CODES)
     fwd = (rcodes[..., None, :] == ch[:, None]).astype(jnp.float32)  # [K,R,4,N]
-    Wj = jnp.asarray(W, dtype=jnp.float32)
-    wen = Wj[ch[:, None], rcodes[..., None, :]]                      # [K,R,4,N]
+    Wn = np.asarray(W, dtype=np.float32)
+    cols = []
+    for c in np.asarray(CHANNEL_CODES):
+        acc = jnp.zeros(rcodes.shape, jnp.float32)
+        for v in range(Wn.shape[1]):
+            if Wn[c, v] != 0:
+                acc = jnp.where(rcodes == v, jnp.float32(Wn[c, v]), acc)
+        cols.append(acc)
+    wen = jnp.stack(cols, axis=-2)                                   # [K,R,4,N]
     F = 2 * N
     conv = jnp.fft.irfft(jnp.fft.rfft(fwd, n=F) * jnp.fft.rfft(wen, n=F),
                          n=F)[..., : 2 * N - 1]
@@ -475,25 +483,26 @@ def _candidate_delta(cfg, dp, codes, n, keys, pt, loops, rorder,
 
 def _combo_pt(cfg, pt_parent, rloc, rslot, rpos, chosen_i, chosen_j,
               chosen_run, chosen_on):
-    """Position-wise construction of a combination's pair table.
+    """Position-wise construction of combination pair tables, batched.
 
-    chosen_* are [R] candidate picks for this (parent, combo).  Every
-    position derives its new partner from its region's chosen stem."""
+    pt_parent/rloc/rslot are [V,N], rpos is [V,R,N], chosen_* are [V,R]
+    candidate picks.  Every position derives its new partner from its
+    region's chosen stem; all lookups are one-hot einsums (slow-gather
+    avoidance, engine/lookup.py)."""
     N, R = cfg.N, cfg.R
-    ii = jnp.arange(N, dtype=jnp.int32)
-    r = rslot                                          # [N]
+    r = rslot                                          # [V,N]
     rc = jnp.clip(r, 0, R - 1)
-    l = rloc                                           # [N] local index
-    ci = chosen_i[rc]
-    cj = chosen_j[rc]
-    crun = chosen_run[rc]
-    con = chosen_on[rc] & (r >= 0)
+    l = rloc                                           # [V,N] local index
+    ci = batched_taa(chosen_i, rc)
+    cj = batched_taa(chosen_j, rc)
+    crun = batched_taa(chosen_run, rc)
+    con = (batched_taa(chosen_on.astype(jnp.int32), rc) > 0) & (r >= 0)
 
     in5 = con & (l > ci - crun) & (l <= ci)
     in3 = con & (l >= cj) & (l < cj + crun)
-    rflat = rpos.reshape(-1)
-    part5 = rflat[jnp.clip(rc * N + cj + (ci - l), 0, R * N - 1)]
-    part3 = rflat[jnp.clip(rc * N + ci - (l - cj), 0, R * N - 1)]
+    rflat = rpos.reshape(rpos.shape[0], R * N)
+    part5 = batched_taa(rflat, jnp.clip(rc * N + cj + (ci - l), 0, R * N - 1))
+    part3 = batched_taa(rflat, jnp.clip(rc * N + ci - (l - cj), 0, R * N - 1))
     return jnp.where(in5, part5, jnp.where(in3, part3, pt_parent))
 
 
@@ -626,20 +635,19 @@ class FoldEngine:
         c_idx = order_c[: cfg.CPLX]
         c_on = flat_cplx[c_idx]
 
-        def build_cand_pt(fi):
-            k = fi // (R * M)
-            r = (fi // M) % R
-            mm = fi % M
-            return _combo_pt(
-                cfg, pt[k], rloc[k], rslot[k], rpos[k],
-                jnp.where(jnp.arange(R) == r, ws["max_i"][k, r, mm], 0),
-                jnp.where(jnp.arange(R) == r, ws["max_j"][k, r, mm], 0),
-                jnp.where(jnp.arange(R) == r, ws["max_nb"][k, r, mm], 0),
-                jnp.arange(R) == r)
-
-        cand_pts = jax.vmap(build_cand_pt)(c_idx)
+        ck = jnp.clip(c_idx // (R * M), 0, K - 1)
+        cr = (c_idx // M) % R
+        selr = jnp.arange(R, dtype=jnp.int32)[None, :] == cr[:, None]
+        cflat = lambda f: f.reshape(K * R * M)[c_idx]       # [CPLX] (small)
+        cand_pts = _combo_pt(
+            cfg, row_lookup(pt, ck), row_lookup(rloc, ck),
+            row_lookup(rslot, ck), row_lookup(rpos, ck),
+            jnp.where(selr, cflat(ws["max_i"])[:, None], 0),
+            jnp.where(selr, cflat(ws["max_j"])[:, None], 0),
+            jnp.where(selr, cflat(ws["max_nb"])[:, None], 0),
+            selr)
         cand_E = jax.vmap(lambda p: eval_pt(dp, codes, p, n))(cand_pts)
-        parent_E = energy.reshape(K)[jnp.clip(c_idx // (R * M), 0, K - 1)]
+        parent_E = row_lookup(energy, ck)
         c_delta = cand_E - parent_E
         delta_flat = delta.reshape(-1)
         delta_flat = delta_flat.at[c_idx].set(
@@ -697,7 +705,7 @@ class FoldEngine:
         local = v - jnp.where(kv > 0, cum[jnp.clip(kv - 1, 0, K - 1)], 0)
         v_ok = (v < total) & ~done
 
-        szk = sz[kvc]                                          # [V,R]
+        szk = row_lookup(sz, kvc)                              # [V,R]
         # stride_r = prod of sizes after r (last region varies fastest);
         # clamped iterative product avoids int32 overflow — any stride
         # > V only ever divides local < V, so the clamp is lossless
@@ -708,13 +716,13 @@ class FoldEngine:
             acc = jnp.minimum(acc * szk[:, r], CLAMP)
         stride = jnp.stack(stride_cols[::-1], axis=-1)         # [V,R]
         idx_r = (local[:, None] // stride) % szk               # [V,R]
-        cand_m = jnp.take_along_axis(ordm[kvc], idx_r[..., None],
-                                     axis=-1)[..., 0]          # [V,R]
-        on_r = part[kvc]                                       # [V,R]
+        cand_m = batched_taa(row_lookup(ordm, kvc),
+                             idx_r[..., None])[..., 0]         # [V,R]
+        on_r = row_lookup(part, kvc)                           # [V,R]
 
         def pick(field):
-            return jnp.take_along_axis(
-                field[kvc].reshape(V, R, M), cand_m[..., None], axis=-1)[..., 0]
+            return batched_taa(row_lookup(field, kvc),
+                               cand_m[..., None])[..., 0]
 
         ch_i = pick(ws["max_i"])
         ch_j = pick(ws["max_j"])
@@ -723,17 +731,16 @@ class FoldEngine:
         ch_p0 = pick(p0)
         ch_a = pick(a)
         ch_lin = ch_j - ch_i - 1
-        ch_m = mlen[kvc]
+        ch_m = row_lookup(mlen, kvc)
 
-        new_pt = jax.vmap(
-            lambda vv: _combo_pt(cfg, pt[kvc[vv]], rloc[kvc[vv]],
-                                 rslot[kvc[vv]], rpos[kvc[vv]],
-                                 ch_i[vv], ch_j[vv], ch_run[vv], on_r[vv]))(
-            jnp.arange(V))
-        new_E = energy[kvc] + jnp.where(on_r, ch_delta, 0).sum(axis=-1)
+        new_pt = _combo_pt(cfg, row_lookup(pt, kvc), row_lookup(rloc, kvc),
+                           row_lookup(rslot, kvc), row_lookup(rpos, kvc),
+                           ch_i, ch_j, ch_run, on_r)
+        new_E = row_lookup(energy, kvc) \
+            + jnp.where(on_r, ch_delta, 0).sum(axis=-1)
 
         # ---- child region order: per parent region -> [inner, outer]
-        par_lab = rorder[kvc]                                  # [V,R]
+        par_lab = row_lookup(rorder, kvc)                      # [V,R]
         inner_ok = on_r & (ch_lin > 0)
         i_loc0 = ch_i - ch_run + 1
         outer_ok = on_r & ((i_loc0 > 0) | (ch_j + ch_run < ch_m))

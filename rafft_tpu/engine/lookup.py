@@ -74,6 +74,21 @@ def batched_taa(tab, idx):
     return out.astype(tab.dtype)
 
 
+def row_lookup(tab, idx):
+    """tab[idx] where idx is 1-D row indices into tab's leading axis —
+    as a one-hot einsum over the (small) leading axis when the row count
+    is small and many rows are selected (TPU row gathers with computed
+    indices are slow like everything else)."""
+    Kn = tab.shape[0]
+    if idx.shape[0] * Kn < (1 << 12) or Kn > 256:
+        return tab[idx]
+    oh = (idx[:, None] == jnp.arange(Kn, dtype=idx.dtype)).astype(jnp.float32)
+    flat = tab.reshape(Kn, -1).astype(jnp.float32)
+    out = jnp.einsum('vk,kx->vx', oh, flat,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape((idx.shape[0],) + tab.shape[1:]).astype(tab.dtype)
+
+
 def diag_extract(tabs, idx):
     """Gather several [..., N] tables at a shared large index array.
 

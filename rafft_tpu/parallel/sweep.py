@@ -79,8 +79,8 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
         R = 16 if N <= 512 else 32
         cfg = EngineConfig(N=N, K=max_stack, M=nb_mode, R=R,
                            max_branch=max_branch,
-                           V=min(1024, max(128, max_branch)),
-                           S=4096 if N <= 512 else 8192)
+                           V=min(8192, max(256, 4 * max_branch)),
+                           S=max(16384, 32 * max_stack))
         eng = FoldEngine(cfg, B=batch)
         t_bucket = time.time()
 
