@@ -42,29 +42,49 @@ def main():
         seqs = ["".join(rng.choice(list("ACGU"), 100)) for _ in range(64)]
 
     B = 16
-    n_seqs = 128
+    n_seqs = 256
     seqs = seqs[:n_seqs]
     cfg = EngineConfig(N=128, K=50, R=16, M=100, V=4096, S=16384,
                        max_branch=1000)
     eng = FoldEngine(cfg, B=B)
 
-    # warmup/compile on the first batch
+    # warmup/compile on the first batch (step + refill)
     state = eng.init_state(seqs[:B])
     for _ in range(cfg.max_steps):
         if bool(np.asarray(state["done"]).all()):
             break
         state = eng._step(state)
+    state = eng.refill(state, [0], [seqs[0]])
 
     t0 = time.time()
     folded = 0
-    for off in range(0, len(seqs), B):
-        chunk = seqs[off: off + B]
-        state = eng.init_state(chunk)
-        for _ in range(cfg.max_steps):
-            if bool(np.asarray(state["done"]).all()):
-                break
-            state = eng._step(state)
-        folded += len(chunk)
+    # continuous batching: finished slots take fresh sequences mid-flight
+    pending = list(range(B, len(seqs)))[::-1]
+    slot_busy = [True] * B
+    slot_steps = [0] * B
+    state = eng.init_state(seqs[:B])
+    while any(slot_busy):
+        state = eng._step(state)
+        done = np.asarray(state["done"])
+        fins = []
+        for b in range(B):
+            if not slot_busy[b]:
+                continue
+            slot_steps[b] += 1
+            if done[b] or slot_steps[b] >= cfg.max_steps:
+                fins.append(b)
+        if not fins:
+            continue
+        refill = []
+        for b in fins:
+            folded += 1
+            slot_steps[b] = 0
+            if pending:
+                refill.append(seqs[pending.pop()])
+            else:
+                refill.append(None)
+                slot_busy[b] = False
+        state = eng.refill(state, fins, refill)
     dt = time.time() - t0
 
     thr = folded / dt
