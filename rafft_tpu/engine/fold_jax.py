@@ -615,7 +615,9 @@ class FoldEngine:
         keys = (_kmer_keys(codes, 5), _kmer_keys(codes, 6), _kmer_keys(codes, 8))
 
         # ---- analyze beam
-        loops = jax.vmap(lambda p: analyze_pt(dp, codes, p, n))(pt)
+        from rafft_tpu.engine.lookup import assume_batched
+        with assume_batched():
+            loops = jax.vmap(lambda p: analyze_pt(dp, codes, p, n))(pt)
         enclose = loops["enclose"]
 
         rpos, rloc, rslot, mlen = _regions(cfg, pt, enclose, rorder, n)
@@ -646,7 +648,9 @@ class FoldEngine:
             jnp.where(selr, cflat(ws["max_j"])[:, None], 0),
             jnp.where(selr, cflat(ws["max_nb"])[:, None], 0),
             selr)
-        cand_E = jax.vmap(lambda p: eval_pt(dp, codes, p, n))(cand_pts)
+        from rafft_tpu.engine.lookup import assume_batched
+        with assume_batched():
+            cand_E = jax.vmap(lambda p: eval_pt(dp, codes, p, n))(cand_pts)
         parent_E = row_lookup(energy, ck)
         c_delta = cand_E - parent_E
         delta_flat = delta.reshape(-1)

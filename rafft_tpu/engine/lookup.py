@@ -26,8 +26,31 @@ import jax.numpy as jnp
 _MIN_IDX = 1 << 14
 _MAX_TAB = 2048
 
+# trace-time escape hatch for vmap blindness: under jax.vmap the lookup
+# sees the UNBATCHED index shape, so a per-candidate [N] lookup inside a
+# 512-wide vmap picks the gather path even though the real index volume
+# is huge.  Callers that vmap over a large axis set this flag around the
+# vmapped call (it only matters at trace time).
+_ASSUME_BATCHED = False
+
+
+class assume_batched:
+    """Context manager: treat every lookup as large-index while tracing."""
+
+    def __enter__(self):
+        global _ASSUME_BATCHED
+        self._prev = _ASSUME_BATCHED
+        _ASSUME_BATCHED = True
+
+    def __exit__(self, *exc):
+        global _ASSUME_BATCHED
+        _ASSUME_BATCHED = self._prev
+        return False
+
 
 def _nelem(x) -> int:
+    if _ASSUME_BATCHED:
+        return 1 << 30
     return int(np.prod(x.shape)) if x.shape else 1
 
 
