@@ -14,8 +14,8 @@ with open(CORPUS) as fh:
         if len(row) >= 3 and len(row[0]) <= 120:
             seqs.append(row[0])
 
-B = 16
 NSEQ = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 cfg = EngineConfig(N=128, K=50, R=16, M=100, V=4096, S=16384, max_branch=1000)
 eng = FoldEngine(cfg, B=B)
 
