@@ -261,7 +261,7 @@ def eval_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
     branches_seg = jax.ops.segment_sum(ones, seg, num_segments=nseg)
     first_child_seg = jax.ops.segment_min(jnp.where(is_open, ii, N), seg,
                                           num_segments=nseg)
-    t_stem = _ptype(dp, codes, codes[jnp.clip(pt, 0, N - 1)])
+    t_stem = _ptype(dp, codes, flat_lookup(codes, jnp.clip(pt, 0, N - 1)))
     s5 = _sget_vec(codes, ii - 1, n)
     s3 = _sget_vec(codes, jnp.clip(pt, 0, N - 1) + 1, n)
     mls = _ml_stem(dp, t_stem, s5, s3)                                # [N]
@@ -273,15 +273,15 @@ def eval_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
     H = N // 2 + 1
     order = jnp.argsort(jnp.where(is_open, ii, N + ii))
     op = order[:H]                       # positions of openings, then filler
-    op_valid = is_open[op]
+    op_valid = flat_lookup(is_open.astype(jnp.int32), op) > 0
     i_o = op
-    j_o = jnp.clip(pt[op], 0, N - 1)
+    j_o = jnp.clip(flat_lookup(pt, op), 0, N - 1)
 
-    branches = branches_seg[jnp.clip(op + 1, 0, nseg - 1)]
-    first_child = first_child_seg[jnp.clip(op + 1, 0, nseg - 1)]
-    mlsum = mlsum_seg[jnp.clip(op + 1, 0, nseg - 1)]
+    branches = flat_lookup(branches_seg, jnp.clip(op + 1, 0, nseg - 1))
+    first_child = flat_lookup(first_child_seg, jnp.clip(op + 1, 0, nseg - 1))
+    mlsum = flat_lookup(mlsum_seg, jnp.clip(op + 1, 0, nseg - 1))
     q = jnp.clip(first_child, 0, N - 1)
-    r = jnp.clip(pt[q], 0, N - 1)
+    r = jnp.clip(flat_lookup(pt, q), 0, N - 1)
 
     hp = _hairpin(dp, codes, n, i_o, j_o, key5, key6, key8)
     il = _int_loop(dp, codes, n, i_o, j_o, q, r)
@@ -295,7 +295,8 @@ def eval_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
     ext = _ext_stem(dp, codes, n, i_o, j_o)
 
     total = jnp.sum(jnp.where(op_valid, loop_e, 0))
-    total += jnp.sum(jnp.where(op_valid & (parent[op] == -1), ext, 0))
+    total += jnp.sum(jnp.where(
+        op_valid & (flat_lookup(parent, op) == -1), ext, 0))
     return total.astype(jnp.int32)
 
 
@@ -335,20 +336,20 @@ def analyze_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
                                        num_segments=nseg)
     first_child_seg = jax.ops.segment_min(jnp.where(is_open, ii, N), seg,
                                           num_segments=nseg)
-    t_stem = _ptype(dp, codes, codes[jnp.clip(pt, 0, N - 1)])
+    t_stem = _ptype(dp, codes, flat_lookup(codes, jnp.clip(pt, 0, N - 1)))
     s5v = _sget_vec(codes, ii - 1, n)
     s3v = _sget_vec(codes, jnp.clip(pt, 0, N - 1) + 1, n)
     mls = _ml_stem(dp, t_stem, s5v, s3v)
     mlsum_seg = jax.ops.segment_sum(jnp.where(is_open, mls, 0), seg,
                                     num_segments=nseg)
 
-    branches = branches_seg[jnp.clip(ii + 1, 0, nseg - 1)]
-    first_child = first_child_seg[jnp.clip(ii + 1, 0, nseg - 1)]
-    mlsum = mlsum_seg[jnp.clip(ii + 1, 0, nseg - 1)]
+    branches = flat_lookup(branches_seg, jnp.clip(ii + 1, 0, nseg - 1))
+    first_child = flat_lookup(first_child_seg, jnp.clip(ii + 1, 0, nseg - 1))
+    mlsum = flat_lookup(mlsum_seg, jnp.clip(ii + 1, 0, nseg - 1))
 
     j_o = jnp.clip(pt, 0, N - 1)
     q = jnp.clip(first_child, 0, N - 1)
-    r = jnp.clip(pt[q], 0, N - 1)
+    r = jnp.clip(flat_lookup(pt, q), 0, N - 1)
     hp = _hairpin(dp, codes, n, ii, j_o, key5, key6, key8)
     il = _int_loop(dp, codes, n, ii, j_o, q, r)
     tc = _ptype(dp, _sget_vec(codes, j_o, n), _sget_vec(codes, ii, n))

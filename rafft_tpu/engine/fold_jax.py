@@ -304,21 +304,21 @@ def _children(cfg, pt, loops, rorder, C):
             & (enclose[:, None, :] == rorder[:, :, None])
             & (rorder[:, :, None] > -2))                 # [K,R,N]
     order = jnp.argsort(jnp.where(memb, ii[None, None, :], N), axis=-1)
-    chs_full = jnp.take_along_axis(
-        jnp.where(memb, ii[None, None, :], N)[..., 0:N], order, axis=-1)
+    chs_full = batched_taa(
+        jnp.where(memb, ii[None, None, :], N)[..., 0:N], order)
     chs = chs_full[..., :C]
     nch = memb.sum(axis=-1).astype(jnp.int32)
 
     mls = loops["mls"]                                   # [K,N]
-    mls_r = jnp.take_along_axis(
+    mls_r = batched_taa(
         jnp.broadcast_to(mls[:, None, :], (K, R, N)),
-        jnp.clip(chs, 0, N - 1), axis=-1)
+        jnp.clip(chs, 0, N - 1))
     mls_r = jnp.where(chs < N, mls_r, 0)
     pml = jnp.concatenate(
         [jnp.zeros((K, R, 1), jnp.int32), jnp.cumsum(mls_r, axis=-1)], axis=-1)
 
     ptk = jnp.broadcast_to(pt[:, None, :], (K, R, N))
-    che = jnp.take_along_axis(ptk, jnp.clip(chs, 0, N - 1), axis=-1)
+    che = batched_taa(ptk, jnp.clip(chs, 0, N - 1))
     span = jnp.where(chs < N, che - chs + 1, 0)
     pspan = jnp.concatenate(
         [jnp.zeros((K, R, 1), jnp.int32), jnp.cumsum(span, axis=-1)], axis=-1)
@@ -326,9 +326,9 @@ def _children(cfg, pt, loops, rorder, C):
     # per-child exterior-loop term (needed when an exterior stem swallows
     # former top-level stems: their ext terms leave the total)
     exts = loops["exts"]                                 # [K,N]
-    ext_r = jnp.take_along_axis(
+    ext_r = batched_taa(
         jnp.broadcast_to(exts[:, None, :], (K, R, N)),
-        jnp.clip(chs, 0, N - 1), axis=-1)
+        jnp.clip(chs, 0, N - 1))
     ext_r = jnp.where(chs < N, ext_r, 0)
     pext = jnp.concatenate(
         [jnp.zeros((K, R, 1), jnp.int32), jnp.cumsum(ext_r, axis=-1)], axis=-1)
@@ -621,7 +621,8 @@ class FoldEngine:
         enclose = loops["enclose"]
 
         rpos, rloc, rslot, mlen = _regions(cfg, pt, enclose, rorder, n)
-        rcodes = jnp.where(rpos < N, codes[jnp.clip(rpos, 0, N - 1)], 0)
+        rcodes = jnp.where(rpos < N,
+                           flat_lookup(codes, jnp.clip(rpos, 0, N - 1)), 0)
 
         cor = _correlate(cfg, self.W, rcodes, mlen, self.integral)
         lags, lvals = _top_lags(cfg, cor)
@@ -755,7 +756,7 @@ class FoldEngine:
                               jnp.arange(2 * R, dtype=jnp.int32)[None, :],
                               jnp.int32(2 * R + 1))
         take = jnp.argsort(key_order, axis=-1)[:, :R]
-        new_rorder = jnp.take_along_axis(lab2, take, axis=-1)
+        new_rorder = batched_taa(lab2, take)
 
         # ---- dedup + the reference's nb_branch cap semantics
         # (rafft.py:195-203: the counter counts NEW structures globally,
