@@ -75,6 +75,17 @@ class DeviceParams:
         self.int11 = jnp.asarray(p.int11, dtype=jnp.int32)
         self.int21 = jnp.asarray(p.int21, dtype=jnp.int32)
         self.int22 = jnp.asarray(p.int22, dtype=jnp.int32)
+        # combined small-internal-loop table: computed-index gathers are
+        # uniformly slow on TPU regardless of table size (measured ~40 ms
+        # per 1.3M-index gather, tools/microbench_medtab.py), so the
+        # mutually-exclusive int11/int21/int22 cases share ONE gather
+        # from a concatenated table (slot 0 = sentinel for other cases)
+        self.small_loop = jnp.concatenate([
+            jnp.zeros(1, jnp.int32),
+            self.int11.reshape(-1),
+            self.int21.reshape(-1),
+            self.int22.reshape(-1),
+        ])
         self.tetra = jnp.asarray(_dense_special(p.tetraloops, 6))
         self.tri = jnp.asarray(_dense_special(p.triloops, 5))
         self.hexa = jnp.asarray(_dense_special(p.hexaloops, 8))
@@ -189,24 +200,44 @@ def _int_loop(dp, codes, n, i, j, q, r):
         nl == 1, stack_e,
         jnp.where(t1 > 2, dp.terminal_au, 0) + jnp.where(t2 > 2, dp.terminal_au, 0))
 
-    i11 = _g(dp.int11, t1, t2, si1, sj1)
-    i21a = _g(dp.int21, t1, t2, si1, sq1, sj1)
-    i21b = _g(dp.int21, t2, t1, sq1, si1, sp1)
-    i21 = jnp.where(n1 == 1, i21a, i21b)
+    # int11/int21/int22 are mutually exclusive by (ns, nl): compute one
+    # combined index and do ONE gather from dp.small_loop (slot 0 is a
+    # sentinel for every other case) — computed-index gathers cost ~40 ms
+    # per 1.3M indices here whatever the table size, so 4 gathers -> 1
+    O11, O21, O22 = 1, 1 + 8 * 8 * 25, 1 + 8 * 8 * 25 + 8 * 8 * 125
+    sel11 = (ns == 1) & (nl == 1)
+    sel21 = (ns == 1) & (nl == 2)
+    sel22 = (ns == 2) & (nl == 2)
+    # int21 orientation: bulge-of-1 on the 5' side keys (t1,t2,si1,sq1,sj1),
+    # otherwise the reversed frame (t2,t1,sq1,si1,sp1)
+    fwd21 = n1 == 1
+    a1 = jnp.where(fwd21, t1, t2)
+    b1 = jnp.where(fwd21, t2, t1)
+    c1 = jnp.where(fwd21, si1, sq1)
+    d1 = jnp.where(fwd21, sq1, si1)
+    e1 = jnp.where(fwd21, sj1, sp1)
+    idx_sm = jnp.where(
+        sel11, O11 + ((t1 * 8 + t2) * 5 + si1) * 5 + sj1,
+        jnp.where(
+            sel21, O21 + (((a1 * 8 + b1) * 5 + c1) * 5 + d1) * 5 + e1,
+            jnp.where(
+                sel22,
+                O22 + ((((t1 * 8 + t2) * 5 + si1) * 5 + sp1) * 5 + sq1) * 5 + sj1,
+                0)))
+    small = flat_lookup(dp.small_loop, idx_sm)
 
     ninio = jnp.minimum(dp.ninio_max, (nl - ns) * dp.ninio_m)
     onexn = (flat_lookup(dp.internal, jnp.clip(nl + 1, 0, dp.internal.shape[0] - 1))
              + ninio + _g(dp.mm1n, t1, si1, sj1) + _g(dp.mm1n, t2, sq1, sp1))
 
-    i22 = _g(dp.int22, t1, t2, si1, sp1, sq1, sj1)
     l23 = (dp.internal[5] + dp.ninio_m
            + _g(dp.mm23, t1, si1, sj1) + _g(dp.mm23, t2, sq1, sp1))
 
     generic = (flat_lookup(dp.internal, jnp.clip(nl + ns, 0, dp.internal.shape[0] - 1))
                + ninio + _g(dp.mmi, t1, si1, sj1) + _g(dp.mmi, t2, sq1, sp1))
 
-    ns1 = jnp.where(nl == 1, i11, jnp.where(nl == 2, i21, onexn))
-    ns2 = jnp.where(nl == 2, i22, jnp.where(nl == 3, l23, generic))
+    ns1 = jnp.where(nl <= 2, small, onexn)
+    ns2 = jnp.where(nl == 2, small, jnp.where(nl == 3, l23, generic))
     inner = jnp.where(ns == 1, ns1, jnp.where(ns == 2, ns2, generic))
 
     return jnp.where(nl == 0, stack_e, jnp.where(ns == 0, bulge_e, inner))
