@@ -757,6 +757,11 @@ class FoldEngine:
                               jnp.int32(2 * R + 1))
         take = jnp.argsort(key_order, axis=-1)[:, :R]
         new_rorder = batched_taa(lab2, take)
+        # a combo with more live regions than R slots would silently drop
+        # regions (and with them future candidates); flag it so the
+        # sweep's CPU-parity fallback fires (region semantics of the
+        # reference's node_list, rafft/utils.py:141-152)
+        r_over = (lab2 > -2).sum(axis=-1) > R                  # [V]
 
         # ---- dedup + the reference's nb_branch cap semantics
         # (rafft.py:195-203: the counter counts NEW structures globally,
@@ -803,6 +808,8 @@ class FoldEngine:
             capped,
             (trunc_k & (jnp.arange(K, dtype=jnp.int32) <= kcap)).any(),
             trunc_k.any()) & ~done
+        # ... or kept regions we had no slot for?
+        suspect = suspect | (r_over & newmask).any()
 
         # insert into seen (capacity overflow voids dedup exactness ->
         # flag the sequence for the CPU-parity fallback)

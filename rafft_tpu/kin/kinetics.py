@@ -23,37 +23,56 @@ from rafft_tpu.struct import paired_positions
 KT = 0.61
 
 
-def get_connected_prev(cur_struct, prev_step):
-    """Indices of previous-step structures whose pairs are a subset of
-    the current structure's pairs."""
-    cur_pairs = set(paired_positions(cur_struct.str_struct))
-    res = []
-    for si, struct in enumerate(prev_step):
-        pairs = set(paired_positions(struct.str_struct))
-        if len(pairs - cur_pairs) == 0:
-            res.append(si)
-    return res
+def _pair_ids(db, _cache={}):
+    """A structure's base pairs as a flat sorted id array (i*len+j).
+
+    Cached per dot-bracket string: the same structures recur across
+    beams, and array containment tests below want ndarray inputs."""
+    ids = _cache.get(db)
+    if ids is None:
+        n = len(db)
+        ids = np.sort(np.array([i * n + j for i, j in paired_positions(db)],
+                               dtype=np.int64))
+        _cache[db] = ids
+    return ids
+
+
+def ancestors_in(beam, target):
+    """Indices of `beam` members whose pair sets are contained in
+    `target`'s pairs.
+
+    The fast-folding graph only ever *adds* stems from one beam to the
+    next, so structure P can precede S iff pairs(P) ⊆ pairs(S) — the
+    connectivity rule of the reference graph (rafft_kin.py:48-56)."""
+    want = _pair_ids(target.str_struct)
+    return [bi for bi, cand in enumerate(beam)
+            if np.isin(_pair_ids(cand.str_struct), want).all()]
 
 
 def get_transition_mat(fast_paths, nb_struct, struct_map):
-    transition_mat = np.zeros((nb_struct, nb_struct), dtype=np.longdouble)
+    """Metropolis rate matrix over the fast-folding graph.
 
-    for step_i, fold_step in enumerate(fast_paths):
-        for struct in fold_step:
-            lprev_co = get_connected_prev(struct, fast_paths[step_i - 1])
-            map_cur, cur_nrj = struct_map[struct.str_struct]
-            for si in lprev_co:
-                prev_st = fast_paths[step_i - 1][si]
-                map_prev, prev_nrj = struct_map[prev_st.str_struct]
-                delta_nrj = cur_nrj - prev_nrj
-                if map_cur != map_prev:
-                    transition_mat[map_prev, map_cur] = min(1.0, np.exp(-delta_nrj / KT))
-                    transition_mat[map_cur, map_prev] = min(1.0, np.exp(delta_nrj / KT))
-
-    for si in range(nb_struct):
-        transition_mat[si, si] = -transition_mat[si, :].sum()
-
-    return transition_mat
+    Edges connect each beam to the one before it; beam 0 wraps around to
+    the final beam via Python negative indexing — a reference quirk kept
+    deliberately for output parity (rafft_kin.py:75).  Off-diagonal
+    rates are min(1, e^{∓ΔE/KT}); each diagonal entry balances its row
+    so columns of the generator integrate to conserved probability."""
+    rates = np.zeros((nb_struct, nb_struct), dtype=np.longdouble)
+    for step_idx in range(len(fast_paths)):
+        parents = fast_paths[step_idx - 1]
+        for cur in fast_paths[step_idx]:
+            dst, e_dst = struct_map[cur.str_struct]
+            for bi in ancestors_in(parents, cur):
+                src, e_src = struct_map[parents[bi].str_struct]
+                if src == dst:
+                    continue
+                de = e_dst - e_src
+                rates[src, dst] = min(1.0, np.exp(-de / KT))
+                rates[dst, src] = min(1.0, np.exp(de / KT))
+    diag = np.diag_indices(nb_struct)
+    rates[diag] = 0.0
+    rates[diag] = -rates.sum(axis=1)
+    return rates
 
 
 def _propagate_eig(transition_mat, init_pop, times):

@@ -1,5 +1,10 @@
-"""Population-trajectory figure (parity with
-/root/reference/rafft/rafft_kin.py:18-45)."""
+"""Population-trajectory figure for the kinetics CLI.
+
+Fills the role of the reference's trajectory plot (rafft_kin.py:18-45):
+log-time population curves for every structure that ever rises above the
+visibility threshold, labeled by structure id.  Drawn with this
+project's own styling.
+"""
 
 from __future__ import annotations
 
@@ -13,25 +18,21 @@ def plot_traj(trajectory, struct_list, times, font_size, width, height,
         matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    trajectory = np.array(trajectory).real
+    pops = np.real(np.asarray(trajectory, dtype=np.float64))
+    visible = [k for k in range(len(struct_list))
+               if pops[:, k].max() > show_thres]
 
-    plt.rcParams["font.family"] = "serif"
-    plt.rcParams["font.size"] = font_size
-    plt.rcParams["figure.figsize"] = width, height
-    left, w = 0.10, 0.88
-    bottom, h = 0.10, 0.88
-    fig = plt.figure(1)
-    kin_f = fig.add_axes([left, bottom, w, h])
-    kin_f.grid(True, color="grey", linestyle="--", linewidth=0.2)
-    kin_f.set_xlim([times[0], times[-1]])
-
-    for si, _struct in enumerate(struct_list):
-        if any(trajectory[:, si] > show_thres):
-            kin_f.plot(times, trajectory[:, si], alpha=0.8, label=si)
-
-    kin_f.set_xscale("log")
-    kin_f.legend(ncol=2, fontsize=int(font_size * 0.8))
-    if out_file is not None:
-        plt.savefig(out_file, dpi=300, transparent=True)
-    else:
-        plt.show()
+    with plt.rc_context({"font.family": "serif", "font.size": font_size}):
+        fig, ax = plt.subplots(figsize=(width, height))
+        fig.subplots_adjust(left=0.10, right=0.97, bottom=0.10, top=0.97)
+        for k in visible:
+            ax.plot(times, pops[:, k], alpha=0.8, label=k)
+        ax.set_xscale("log")
+        ax.set_xlim(times[0], times[-1])
+        ax.grid(True, color="grey", linestyle="--", linewidth=0.2)
+        ax.legend(ncol=2, fontsize=int(font_size * 0.8))
+        if out_file is not None:
+            fig.savefig(out_file, dpi=300, transparent=True)
+            plt.close(fig)
+        else:
+            plt.show()

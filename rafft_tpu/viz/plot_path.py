@@ -16,18 +16,9 @@ import argparse
 
 import numpy as np
 
-from rafft_tpu.struct import parse_rafft_output, paired_positions
+from rafft_tpu.struct import parse_rafft_output
+from rafft_tpu.kin.kinetics import ancestors_in
 from rafft_tpu.viz.layout import draw_structure
-
-
-def get_connected_prev(cur_struct, prev_step):
-    cur_pairs = set(paired_positions(cur_struct.str_struct))
-    res = []
-    for si, struct in enumerate(prev_step):
-        pairs = set(paired_positions(struct.str_struct))
-        if len(pairs - cur_pairs) == 0:
-            res.append(si)
-    return res
 
 
 def plot_path(fast_paths, seq, out_file=None, width=9.0, height=5.0,
@@ -61,7 +52,7 @@ def plot_path(fast_paths, seq, out_file=None, width=9.0, height=5.0,
         dst = steps[si] if not reverse else steps[si - 1]
         a, b = (si - 1, si)
         for ki, struct in enumerate(steps[si]):
-            for pj in get_connected_prev(struct, steps[si - 1]):
+            for pj in ancestors_in(steps[si - 1], struct):
                 x1, y1 = pos[(si - 1, pj)]
                 x2, y2 = pos[(si, ki)]
                 de = struct.energy - steps[si - 1][pj].energy

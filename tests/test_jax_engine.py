@@ -34,6 +34,31 @@ def test_tiny_fold_matches_cpu(tiny_engine):
         assert got == want, (seq, got, want)
 
 
+def test_region_overflow_flagged():
+    """A structure needing more loop regions than R slots must raise
+    enum_suspect (the sweep then re-folds on the CPU parity engine) —
+    never silently drop regions (rafft/utils.py:141-152 semantics)."""
+    from rafft_tpu.engine.fold_cpu import fold as cpu_fold
+    from rafft_tpu.engine.fold_jax import FoldEngine, EngineConfig
+
+    seq = "GGGGAAAACCCCAAGGGGAAAACCCCAAGGGGAAAACCCC"
+    cfg = EngineConfig(N=64, K=4, R=2, M=16, V=64, CPLX=16, S=256,
+                       max_branch=64, max_steps=8)
+    eng = FoldEngine(cfg, B=1)
+    _, state = eng.run([seq])
+    assert int(np.asarray(state["enum_suspect"])[0]) > 0
+
+    # with enough slots the same sequence folds exactly and unflagged
+    cfg2 = EngineConfig(N=64, K=4, R=8, M=16, V=64, CPLX=16, S=256,
+                        max_branch=64, max_steps=8)
+    eng2 = FoldEngine(cfg2, B=1)
+    beams, state2 = eng2.run([seq])
+    assert int(np.asarray(state2["enum_suspect"])[0]) == 0
+    want = [(s.str_struct, s.energy)
+            for s in cpu_fold(seq, nb_mode=16, max_stack=4, max_branch=64)]
+    assert [(db, e) for db, e in beams[0]] == want
+
+
 def test_sharded_step_runs(tiny_engine):
     import jax
 

@@ -14,8 +14,8 @@ with open(CORPUS) as fh:
     for row in csv.reader(fh):
         if len(row) >= 3 and len(row[0]) <= 120:
             seqs.append(row[0])
-B = 16
-cfg = EngineConfig(N=128, K=50, R=16, M=100, V=1024, S=4096, max_branch=1000)
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+cfg = EngineConfig(N=128, K=50, R=16, M=100, V=4096, S=16384, max_branch=1000)
 eng = FoldEngine(cfg, B=B)
 
 state = eng.init_state(seqs[:B])
