@@ -148,9 +148,13 @@ def _correlate(cfg, W, rcodes, mlen, integral):
 
 
 def _top_lags(cfg, cor):
-    """Descending value, ties by descending lag (reference order)."""
+    """Descending value, ties by descending lag (reference order,
+    scan/correlate.top_lags).  A stable sort is required: lax.top_k's
+    tie order is unspecified on TPU and varies across compilations."""
     rev = cor[..., ::-1]
-    vals, idx = jax.lax.top_k(rev, cfg.M)
+    idx = jnp.argsort(rev, axis=-1, stable=True,
+                      descending=True)[..., : cfg.M].astype(jnp.int32)
+    vals = batched_taa(rev, idx)
     lags = (cor.shape[-1] - 1) - idx
     return lags.astype(jnp.int32), vals
 
@@ -183,12 +187,32 @@ def _window_scan(cfg, dp, W, rcodes, rpos, mlen, lags, lag_ok):
     idx5 = base[None] + io                                 # [H,K,R,M] = ip
     idx3 = lag[None] - idx5                                #           = jp
 
-    # both diagonals of (codes, positions) in two one-hot einsums; the
-    # small-table lookups below are select chains / one-hot dots — all
-    # TPU-fast formulations (see engine/lookup.py)
-    T2 = jnp.stack([rcodes, rpos], axis=-1)                # [K,R,N,2]
-    d5 = diag_extract(T2, jnp.clip(idx5, 0, N - 1))
-    d3 = diag_extract(T2, jnp.clip(idx3, 0, N - 1))
+    # Window members are contiguous runs: idx5 walks forward from base,
+    # idx3 walks backward from e := lag - base.  Gathering per (lag,
+    # step) would be a [*,N]@[N,2] one-hot dot (2-wide MXU output = 1/64
+    # utilisation); instead gather ONCE per window START against Hankel
+    # stacks of shifted tables (H static slices), so the extraction is a
+    # proper [M,N]@[N,H*2] matmul per region.  In-window reads (i < half)
+    # always land inside [0, mlen) so the zero padding is never consumed.
+    if N <= 256 and jax.default_backend() != "cpu":
+        dt, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
+    else:
+        dt, prec = jnp.float32, jax.lax.Precision.HIGHEST
+    T2 = jnp.stack([rcodes.astype(dt), rpos.astype(dt)], axis=-1)  # [K,R,N,2]
+    zpad = jnp.zeros(T2.shape[:-2] + (H, 2), dt)
+    padf = jnp.concatenate([T2, zpad], axis=-2)            # [K,R,N+H,2]
+    padb = jnp.concatenate([zpad, T2], axis=-2)
+    Sf = jnp.stack([padf[..., i:i + N, :] for i in range(H)],
+                   axis=-3)                                # [K,R,H,N,2]
+    Sb = jnp.stack([padb[..., H - i:H - i + N, :] for i in range(H)],
+                   axis=-3)
+    nn = jnp.arange(N, dtype=jnp.int32)
+    oh5 = (base[..., None] == nn).astype(dt)               # [K,R,M,N]
+    oh3 = ((lag - base)[..., None] == nn).astype(dt)
+    d5 = jnp.einsum('...mn,...hnt->h...mt', oh5, Sf, precision=prec,
+                    preferred_element_type=jnp.float32)
+    d3 = jnp.einsum('...mn,...hnt->h...mt', oh3, Sb, precision=prec,
+                    preferred_element_type=jnp.float32)
     c5 = d5[..., 0].astype(jnp.int32)
     p5 = d5[..., 1].astype(jnp.int32)
     c3 = d3[..., 0].astype(jnp.int32)
@@ -519,6 +543,12 @@ class FoldEngine:
         self.dp = device_params(cfg.temp, max_len=cfg.N)
         self.W = weight_matrix(cfg.gc_wei, cfg.au_wei, cfg.gu_wei)
         self.integral = _weights_integral(cfg)
+        # Pallas wavefront kernel: TPU only, lane-aligned N, integral
+        # weights (non-integral correlation sums round differently from
+        # the scipy-parity FFT, so those configs keep the FFT path)
+        self.use_wavefront = (jax.default_backend() != "cpu"
+                              and cfg.N % 128 == 0 and cfg.N <= 2048
+                              and self.integral)
         rng = np.random.default_rng(0xA5F7)
         self.Z1 = jnp.asarray(
             rng.integers(1, 2**32 - 1, cfg.N + 1, dtype=np.uint64).astype(np.uint32))
@@ -624,11 +654,38 @@ class FoldEngine:
         rcodes = jnp.where(rpos < N,
                            flat_lookup(codes, jnp.clip(rpos, 0, N - 1)), 0)
 
-        cor = _correlate(cfg, self.W, rcodes, mlen, self.integral)
-        lags, lvals = _top_lags(cfg, cor)
-        lag_ok = (lvals > NEG / 2) & (mlen[:, :, None] >= 2) & active[:, None, None]
-
-        ws = _window_scan(cfg, dp, self.W, rcodes, rpos, mlen, lags, lag_ok)
+        if self.use_wavefront:
+            # fused Pallas wavefront: correlation + window slide in one
+            # anti-diagonal sweep (engine/wavefront.py), bit-identical to
+            # the _correlate/_window_scan pair below
+            from rafft_tpu.engine.wavefront import wavefront_tables
+            tabs = wavefront_tables(cfg, dp, self.W, rcodes, rpos, mlen)
+            lagv = jnp.arange(2 * N - 1, dtype=jnp.int32)
+            m_ = mlen[..., None]
+            norm = (jnp.minimum(lagv, jnp.maximum(2 * m_ - 2 - lagv, 0))
+                    + jnp.float32(1.0))
+            cor = jnp.where(lagv < 2 * m_ - 1,
+                            tabs["cor_raw"][..., : 2 * N - 1] / norm, NEG)
+            lags, lvals = _top_lags(cfg, cor)
+            lag_ok = (lvals > NEG / 2) & (mlen[:, :, None] >= 2) \
+                & active[:, None, None]
+            tab4 = jnp.stack([tabs["max_nb"], tabs["max_i"],
+                              tabs["max_j"], tabs["best_sE"]], axis=-1)
+            oh = (lags[..., None] == jnp.arange(2 * N, dtype=jnp.int32)
+                  ).astype(jnp.float32)
+            g4 = jnp.einsum('...mx,...xt->...mt', oh,
+                            tab4.astype(jnp.float32),
+                            precision=jax.lax.Precision.HIGHEST
+                            ).astype(jnp.int32)
+            ws = dict(max_nb=g4[..., 0], max_i=g4[..., 1],
+                      max_j=g4[..., 2], best_sE=g4[..., 3])
+        else:
+            cor = _correlate(cfg, self.W, rcodes, mlen, self.integral)
+            lags, lvals = _top_lags(cfg, cor)
+            lag_ok = (lvals > NEG / 2) & (mlen[:, :, None] >= 2) \
+                & active[:, None, None]
+            ws = _window_scan(cfg, dp, self.W, rcodes, rpos, mlen, lags,
+                              lag_ok)
         delta, cplx, has, p0, q0, a, b2 = _candidate_delta(
             cfg, dp, codes, n, keys, pt, loops, rorder, rpos, mlen, ws, lags)
 
