@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from rafft_tpu.energy.params import EnergyParams, get_params
 from rafft_tpu.energy import _turner2004 as T
-from rafft_tpu.engine.lookup import flat_lookup, table_lookup
+from rafft_tpu.engine.lookup import (flat_lookup, table_lookup,
+                                     row_col_lookup, flat_lookup_multi)
 
 INT_MISS = np.int32(np.iinfo(np.int32).min)
 
@@ -86,6 +87,22 @@ class DeviceParams:
             self.int21.reshape(-1),
             self.int22.reshape(-1),
         ])
+        # same table factored [row, col<25]: the last two base-5 digits
+        # of each case's index are the column, so a large-index lookup
+        # becomes one [*,1985]@[1985,25] one-hot matmul (MXU) plus a
+        # 25-wide contraction instead of the pathological gather
+        # (row 0 = sentinel for non-small cases)
+        self.small2d = jnp.concatenate([
+            jnp.zeros((1, 25), jnp.int32),
+            self.int11.reshape(64, 25),
+            self.int21.reshape(320, 25),
+            self.int22.reshape(1600, 25),
+        ], axis=0)
+        # the three internal-loop mismatch tables share index (t, a, b):
+        # stacked so one one-hot dot serves all three (mm1n, mm23, mmi)
+        self.mm3 = jnp.stack([
+            self.mm1n.reshape(-1), self.mm23.reshape(-1),
+            self.mmi.reshape(-1)], axis=-1)
         self.tetra = jnp.asarray(_dense_special(p.tetraloops, 6))
         self.tri = jnp.asarray(_dense_special(p.triloops, 5))
         self.hexa = jnp.asarray(_dense_special(p.hexaloops, 8))
@@ -200,11 +217,12 @@ def _int_loop(dp, codes, n, i, j, q, r):
         nl == 1, stack_e,
         jnp.where(t1 > 2, dp.terminal_au, 0) + jnp.where(t2 > 2, dp.terminal_au, 0))
 
-    # int11/int21/int22 are mutually exclusive by (ns, nl): compute one
-    # combined index and do ONE gather from dp.small_loop (slot 0 is a
-    # sentinel for every other case) — computed-index gathers cost ~40 ms
-    # per 1.3M indices here whatever the table size, so 4 gathers -> 1
-    O11, O21, O22 = 1, 1 + 8 * 8 * 25, 1 + 8 * 8 * 25 + 8 * 8 * 125
+    # int11/int21/int22 are mutually exclusive by (ns, nl): one combined
+    # lookup from the row/column-factored table (dp.small2d) — the last
+    # two base-5 digits of each case's index form the column, so the
+    # lookup runs as a row-select matmul + 25-wide contraction instead
+    # of a computed-index gather (~40 ms per 1.3M indices on this TPU,
+    # tools/microbench_medtab.py)
     sel11 = (ns == 1) & (nl == 1)
     sel21 = (ns == 1) & (nl == 2)
     sel22 = (ns == 2) & (nl == 2)
@@ -216,25 +234,28 @@ def _int_loop(dp, codes, n, i, j, q, r):
     c1 = jnp.where(fwd21, si1, sq1)
     d1 = jnp.where(fwd21, sq1, si1)
     e1 = jnp.where(fwd21, sj1, sp1)
-    idx_sm = jnp.where(
-        sel11, O11 + ((t1 * 8 + t2) * 5 + si1) * 5 + sj1,
+    row = jnp.where(
+        sel11, 1 + (t1 * 8 + t2),
         jnp.where(
-            sel21, O21 + (((a1 * 8 + b1) * 5 + c1) * 5 + d1) * 5 + e1,
+            sel21, 65 + (a1 * 8 + b1) * 5 + c1,
             jnp.where(
-                sel22,
-                O22 + ((((t1 * 8 + t2) * 5 + si1) * 5 + sp1) * 5 + sq1) * 5 + sj1,
-                0)))
-    small = flat_lookup(dp.small_loop, idx_sm)
+                sel22, 385 + ((t1 * 8 + t2) * 5 + si1) * 5 + sp1, 0)))
+    col = jnp.where(
+        sel11, si1 * 5 + sj1,
+        jnp.where(sel21, d1 * 5 + e1,
+                  jnp.where(sel22, sq1 * 5 + sj1, 0)))
+    small = row_col_lookup(dp.small2d, row, col)
 
     ninio = jnp.minimum(dp.ninio_max, (nl - ns) * dp.ninio_m)
+    mmA = flat_lookup_multi(dp.mm3, (t1 * 5 + si1) * 5 + sj1)
+    mmB = flat_lookup_multi(dp.mm3, (t2 * 5 + sq1) * 5 + sp1)
     onexn = (flat_lookup(dp.internal, jnp.clip(nl + 1, 0, dp.internal.shape[0] - 1))
-             + ninio + _g(dp.mm1n, t1, si1, sj1) + _g(dp.mm1n, t2, sq1, sp1))
+             + ninio + mmA[..., 0] + mmB[..., 0])
 
-    l23 = (dp.internal[5] + dp.ninio_m
-           + _g(dp.mm23, t1, si1, sj1) + _g(dp.mm23, t2, sq1, sp1))
+    l23 = dp.internal[5] + dp.ninio_m + mmA[..., 1] + mmB[..., 1]
 
     generic = (flat_lookup(dp.internal, jnp.clip(nl + ns, 0, dp.internal.shape[0] - 1))
-               + ninio + _g(dp.mmi, t1, si1, sj1) + _g(dp.mmi, t2, sq1, sp1))
+               + ninio + mmA[..., 2] + mmB[..., 2])
 
     ns1 = jnp.where(nl <= 2, small, onexn)
     ns2 = jnp.where(nl == 2, small, jnp.where(nl == 3, l23, generic))
@@ -280,37 +301,41 @@ def eval_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
     is_open = valid & (pt > ii)
 
     # parent opening of each opening i: max p < i with pt[p] > i (else -1).
-    # Single fused masked max-reduction — the only O(N^2) op; everything
-    # downstream is O(N) segment arithmetic on the parent vector.
+    # Single fused masked max-reduction — everything downstream is
+    # masked-reduction arithmetic over the same [N, N] relation (no
+    # segment_sum/argsort: scatters and computed-index sorts are
+    # pathologically slow on this TPU backend, see engine/lookup.py).
     enc = (ii[None, :] < ii[:, None]) & is_open[None, :] & (pt[None, :] > ii[:, None])
     parent = jnp.max(jnp.where(enc, ii[None, :], -1), axis=1)  # [N]
 
-    # children statistics per loop, keyed by parent opening (+1; 0=exterior)
-    seg = jnp.where(is_open, parent + 1, N + 1)
-    nseg = N + 2
-    ones = jnp.where(is_open, 1, 0)
-    branches_seg = jax.ops.segment_sum(ones, seg, num_segments=nseg)
-    first_child_seg = jax.ops.segment_min(jnp.where(is_open, ii, N), seg,
-                                          num_segments=nseg)
     t_stem = _ptype(dp, codes, flat_lookup(codes, jnp.clip(pt, 0, N - 1)))
     s5 = _sget_vec(codes, ii - 1, n)
     s3 = _sget_vec(codes, jnp.clip(pt, 0, N - 1) + 1, n)
     mls = _ml_stem(dp, t_stem, s5, s3)                                # [N]
-    mlsum_seg = jax.ops.segment_sum(jnp.where(is_open, mls, 0), seg,
-                                    num_segments=nseg)
 
     # ---- compact openings to H = N/2+1 slots: loop energies are only
-    # needed per pair, so the expensive table gathers run on half the lanes
+    # needed per pair, so the expensive table gathers run on half the
+    # lanes.  op[h] = position of the h-th opening (N-filled) via a
+    # rank one-hot reduction.
     H = N // 2 + 1
-    order = jnp.argsort(jnp.where(is_open, ii, N + ii))
-    op = order[:H]                       # positions of openings, then filler
-    op_valid = flat_lookup(is_open.astype(jnp.int32), op) > 0
-    i_o = op
-    j_o = jnp.clip(flat_lookup(pt, op), 0, N - 1)
+    rank = jnp.cumsum(is_open.astype(jnp.int32)) - 1
+    hh = jnp.arange(H, dtype=jnp.int32)
+    ohp = is_open[None, :] & (rank[None, :] == hh[:, None])        # [H,N]
+    op = jnp.where(ohp.any(axis=1),
+                   jnp.max(jnp.where(ohp, ii[None, :], 0), axis=1),
+                   N + hh)
+    op_valid = op < N
+    opc = jnp.clip(op, 0, N - 1)
+    i_o = jnp.where(op_valid, op, 0)
+    j_o = jnp.clip(jnp.where(op_valid, flat_lookup(pt, opc), 0), 0, N - 1)
 
-    branches = flat_lookup(branches_seg, jnp.clip(op + 1, 0, nseg - 1))
-    first_child = flat_lookup(first_child_seg, jnp.clip(op + 1, 0, nseg - 1))
-    mlsum = flat_lookup(mlsum_seg, jnp.clip(op + 1, 0, nseg - 1))
+    # children stats per compacted opening: child i contributes to slot h
+    # iff parent[i] == op[h] (exterior handled separately)
+    chm = (is_open[None, :]
+           & (parent[None, :] == jnp.where(op_valid, op, -7)[:, None]))
+    branches = chm.sum(axis=1).astype(jnp.int32)
+    first_child = jnp.min(jnp.where(chm, ii[None, :], N), axis=1)
+    mlsum = jnp.where(chm, mls[None, :], 0).sum(axis=1)
     q = jnp.clip(first_child, 0, N - 1)
     r = jnp.clip(flat_lookup(pt, q), 0, N - 1)
 
@@ -327,7 +352,7 @@ def eval_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
 
     total = jnp.sum(jnp.where(op_valid, loop_e, 0))
     total += jnp.sum(jnp.where(
-        op_valid & (flat_lookup(parent, op) == -1), ext, 0))
+        op_valid & (flat_lookup(parent, opc) == -1), ext, 0))
     return total.astype(jnp.int32)
 
 
@@ -361,22 +386,17 @@ def analyze_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
     enc = (ii[None, :] < ii[:, None]) & is_open[None, :] & (pt[None, :] > ii[:, None])
     enclose = jnp.max(jnp.where(enc, ii[None, :], -1), axis=1)
 
-    seg = jnp.where(is_open, enclose + 1, N + 1)
-    nseg = N + 2
-    branches_seg = jax.ops.segment_sum(jnp.where(is_open, 1, 0), seg,
-                                       num_segments=nseg)
-    first_child_seg = jax.ops.segment_min(jnp.where(is_open, ii, N), seg,
-                                          num_segments=nseg)
     t_stem = _ptype(dp, codes, flat_lookup(codes, jnp.clip(pt, 0, N - 1)))
     s5v = _sget_vec(codes, ii - 1, n)
     s3v = _sget_vec(codes, jnp.clip(pt, 0, N - 1) + 1, n)
     mls = _ml_stem(dp, t_stem, s5v, s3v)
-    mlsum_seg = jax.ops.segment_sum(jnp.where(is_open, mls, 0), seg,
-                                    num_segments=nseg)
 
-    branches = flat_lookup(branches_seg, jnp.clip(ii + 1, 0, nseg - 1))
-    first_child = flat_lookup(first_child_seg, jnp.clip(ii + 1, 0, nseg - 1))
-    mlsum = flat_lookup(mlsum_seg, jnp.clip(ii + 1, 0, nseg - 1))
+    # per-position children stats over the [N, N] child-of relation
+    # (masked reductions; no segment_sum/scatter — see eval_pt)
+    chm = is_open[None, :] & (enclose[None, :] == ii[:, None])
+    branches = chm.sum(axis=1).astype(jnp.int32)
+    first_child = jnp.min(jnp.where(chm, ii[None, :], N), axis=1)
+    mlsum = jnp.where(chm, mls[None, :], 0).sum(axis=1)
 
     j_o = jnp.clip(pt, 0, N - 1)
     q = jnp.clip(first_child, 0, N - 1)

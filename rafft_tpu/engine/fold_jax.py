@@ -556,9 +556,12 @@ class FoldEngine:
             rng.integers(1, 2**32 - 1, cfg.N + 1, dtype=np.uint64).astype(np.uint32))
         self._step = jax.jit(self._step_impl)
         self._refill = jax.jit(self._refill_impl)
+        self._steps = jax.jit(self._steps_impl, static_argnums=(1,))
+        self._advance = jax.jit(self._advance_impl, static_argnums=(1,))
+        self._drain_load = jax.jit(self._drain_load_impl)
 
     # ---------------- state
-    def init_state(self, seqs: list[str]):
+    def init_state(self, seqs: list[str], seqids=None):
         cfg, B = self.cfg, self.B
         assert len(seqs) <= B
         codes = np.zeros((B, cfg.N), np.int32)
@@ -574,6 +577,9 @@ class FoldEngine:
         active[:, 0] = n > 0
         rorder = np.full((B, cfg.K, cfg.R), -2, np.int32)
         rorder[:, 0, 0] = -1          # exterior region of the unfolded root
+        sid = np.full(B, -1, np.int32)
+        if seqids is not None:
+            sid[: len(seqids)] = seqids
         return dict(
             codes=jnp.asarray(codes), n=jnp.asarray(n),
             pt=jnp.asarray(pt), energy=jnp.asarray(energy),
@@ -584,6 +590,22 @@ class FoldEngine:
             done=jnp.asarray(n == 0),
             cplx_dropped=jnp.zeros(B, jnp.int32),
             enum_suspect=jnp.zeros(B, jnp.int32),
+            # device-side continuous batching: per-lane shadow sequence,
+            # output buffer for one finished fold, and bookkeeping
+            seqid=jnp.asarray(sid),
+            lane_steps=jnp.zeros(B, jnp.int32),
+            next_codes=jnp.zeros((B, cfg.N), jnp.int32),
+            next_n=jnp.zeros(B, jnp.int32),
+            next_seqid=jnp.full(B, -1, jnp.int32),
+            next_avail=jnp.zeros(B, bool),
+            out_pt=jnp.full((B, cfg.K, cfg.N), -1, jnp.int32),
+            out_E=jnp.zeros((B, cfg.K), jnp.int32),
+            out_act=jnp.zeros((B, cfg.K), bool),
+            out_n=jnp.zeros(B, jnp.int32),
+            out_seqid=jnp.full(B, -1, jnp.int32),
+            out_done=jnp.zeros(B, bool),
+            out_flag=jnp.zeros(B, jnp.int32),
+            out_valid=jnp.zeros(B, bool),
         )
 
     def _refill_impl(self, state, mask, codes_new, n_new):
@@ -910,6 +932,192 @@ class FoldEngine:
         return (pt, energy, active, rorder, seen_h1, seen_h2, seen_cnt,
                 new_done, cplx_dropped, enum_suspect)
 
+    def _swap_impl(self, st):
+        """Device-side continuous batching: lanes whose fold finished (or
+        hit the step safety limit) bank their result into the per-lane
+        output buffer and restart on their shadow sequence — no host
+        round-trip.  A lane whose output buffer is still full waits for
+        the next host drain."""
+        LIM = 2 * self.cfg.max_steps
+        fin = (st["done"] | (st["lane_steps"] >= LIM)) & (st["seqid"] >= 0)
+        rec = fin & st["next_avail"] & ~st["out_valid"]
+        m1 = rec[:, None]
+        m2 = rec[:, None, None]
+        st = dict(st)
+        st["out_pt"] = jnp.where(m2, st["pt"], st["out_pt"])
+        st["out_E"] = jnp.where(m1, st["energy"], st["out_E"])
+        st["out_act"] = jnp.where(m1, st["active"], st["out_act"])
+        st["out_n"] = jnp.where(rec, st["n"], st["out_n"])
+        st["out_seqid"] = jnp.where(rec, st["seqid"], st["out_seqid"])
+        st["out_done"] = jnp.where(rec, st["done"], st["out_done"])
+        st["out_flag"] = jnp.where(
+            rec, st["cplx_dropped"] + st["enum_suspect"], st["out_flag"])
+        st["out_valid"] = st["out_valid"] | rec
+        st2 = self._refill_impl(st, rec, st["next_codes"], st["next_n"])
+        st2["seqid"] = jnp.where(rec, st["next_seqid"], st["seqid"])
+        st2["next_avail"] = st["next_avail"] & ~rec
+        st2["lane_steps"] = jnp.where(rec, 0, st["lane_steps"])
+        return st2
+
+    def _runnable(self, st):
+        LIM = 2 * self.cfg.max_steps
+        fin = st["done"] | (st["lane_steps"] >= LIM)
+        swappable = fin & st["next_avail"] & ~st["out_valid"]
+        return ((st["seqid"] >= 0) & ~fin) | swappable
+
+    def _advance_impl(self, state, G: int):
+        """Up to G swap+step rounds in one device program (early exit
+        when no lane can make progress), then a final swap so folds that
+        finished on the last step are visible in the output buffers."""
+        def cond(c):
+            it, st = c
+            return (it < G) & self._runnable(st).any()
+
+        def body(c):
+            it, st = c
+            st = self._swap_impl(st)
+            st = self._step_impl(st)
+            st = dict(st)
+            st["lane_steps"] = st["lane_steps"] + jnp.where(
+                st["done"], 0, 1)
+            return it + 1, st
+
+        _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        return self._swap_impl(st)
+
+    def _drain_load_impl(self, state, clear, load, codes_new, n_new,
+                         sid_new):
+        st = dict(state)
+        st["out_valid"] = st["out_valid"] & ~clear
+        st["next_codes"] = jnp.where(load[:, None], codes_new,
+                                     st["next_codes"])
+        st["next_n"] = jnp.where(load, n_new, st["next_n"])
+        st["next_seqid"] = jnp.where(load, sid_new, st["next_seqid"])
+        st["next_avail"] = st["next_avail"] | load
+        return st
+
+    _OUT_KEYS = ("out_pt", "out_E", "out_act", "out_n", "out_seqid",
+                 "out_done", "out_flag", "out_valid", "done", "seqid",
+                 "lane_steps")
+
+    def run_stream(self, seqs, G: int = 4, shard=None):
+        """Continuous-batching fold over a sequence list.
+
+        Yields (index, rows, flagged) as folds finish, where rows is the
+        final beam [(dot_bracket, energy_kcal)] best-first.  The chip
+        swaps finished lanes onto preloaded shadow sequences inside one
+        device program (G steps per launch); the host only drains banked
+        results and reloads shadows — ~2 round-trips per G steps instead
+        of one per step.  `shard` optionally places the state on a mesh
+        (parallel/mesh.shard_state)."""
+        cfg, B = self.cfg, self.B
+        nseq = len(seqs)
+        state = self.init_state(seqs[:B], seqids=list(range(min(B, nseq))))
+        if shard is not None:
+            state = shard(state)
+        nxt = min(B, nseq)
+        # preload one shadow per lane
+        load = np.zeros(B, bool)
+        codes_new = np.zeros((B, cfg.N), np.int32)
+        n_new = np.zeros(B, np.int32)
+        sid_new = np.full(B, -1, np.int32)
+        for b in range(B):
+            if nxt < nseq:
+                c = encode_sequence(seqs[nxt])
+                codes_new[b, : len(c)] = c
+                n_new[b] = len(c)
+                sid_new[b] = nxt
+                load[b] = True
+                nxt += 1
+        state = self._drain_load(state, jnp.zeros(B, bool),
+                                 jnp.asarray(load), jnp.asarray(codes_new),
+                                 jnp.asarray(n_new), jnp.asarray(sid_new))
+
+        emitted = 0
+        while emitted < nseq:
+            state = self._advance(state, G)
+            out = jax.device_get(tuple(state[k] for k in self._OUT_KEYS))
+            (o_pt, o_E, o_act, o_n, o_sid, o_done, o_flag, o_valid,
+             l_done, l_sid, l_steps) = out
+            fresh = np.where(o_valid)[0]
+            clear = np.zeros(B, bool)
+            load = np.zeros(B, bool)
+            codes_new = np.zeros((B, cfg.N), np.int32)
+            n_new = np.zeros(B, np.int32)
+            sid_new = np.full(B, -1, np.int32)
+            for b in fresh:
+                rows = self._rows_from(o_pt[b], o_E[b], o_act[b], o_n[b])
+                yield int(o_sid[b]), rows, (o_flag[b] > 0 or not o_done[b])
+                emitted += 1
+                clear[b] = True
+                if nxt < nseq:
+                    c = encode_sequence(seqs[nxt])
+                    codes_new[b, : len(c)] = c
+                    n_new[b] = len(c)
+                    sid_new[b] = nxt
+                    load[b] = True
+                    nxt += 1
+            if clear.any() or load.any():
+                state = self._drain_load(
+                    state, jnp.asarray(clear), jnp.asarray(load),
+                    jnp.asarray(codes_new), jnp.asarray(n_new),
+                    jnp.asarray(sid_new))
+            elif len(fresh) == 0:
+                # end-game: no banked results and no shadows left —
+                # remaining folds finish in live lanes
+                LIM = 2 * cfg.max_steps
+                live = (l_sid >= 0) & (l_done | (l_steps >= LIM))
+                if not live.any():
+                    continue
+                pt_l, E_l, act_l, n_l, fl_l = jax.device_get(
+                    (state["pt"], state["energy"], state["active"],
+                     state["n"], state["cplx_dropped"]
+                     + state["enum_suspect"]))
+                kill = np.zeros(B, bool)
+                for b in np.where(live)[0]:
+                    rows = self._rows_from(pt_l[b], E_l[b], act_l[b],
+                                           n_l[b])
+                    yield (int(l_sid[b]), rows,
+                           (fl_l[b] > 0 or not l_done[b]))
+                    emitted += 1
+                    kill[b] = True
+                # retire emitted lanes (seqid := -1 via a masked load of
+                # an empty sequence)
+                state = self._refill(state, jnp.asarray(kill),
+                                     jnp.zeros((B, cfg.N), jnp.int32),
+                                     jnp.zeros(B, jnp.int32))
+                state = dict(state)
+                state["seqid"] = jnp.where(jnp.asarray(kill), -1,
+                                           state["seqid"])
+
+    def _rows_from(self, pt_k, E_k, act_k, n_b):
+        from rafft_tpu.struct import dot_bracket
+
+        rows = []
+        for k in range(self.cfg.K):
+            if not act_k[k]:
+                continue
+            pairs = [(i, int(pt_k[k, i])) for i in range(n_b)
+                     if pt_k[k, i] > i]
+            db = dot_bracket(pairs, int(n_b))
+            rows.append((db, float(np.float32(int(E_k[k]) / 100.0))))
+        return rows
+
+    def _steps_impl(self, state, max_iters: int):
+        """Up to max_iters fold steps in ONE device program (early exit
+        when the whole batch is done).  Host round-trips cost ~27 ms on
+        this backend, so per-step polling is folded into the launch."""
+        def cond(c):
+            it, st = c
+            return (it < max_iters) & ~st["done"].all()
+
+        def body(c):
+            it, st = c
+            return it + 1, self._step_impl(st)
+
+        _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        return st
+
     def _step_impl(self, state):
         out = jax.vmap(self._seq_step)(
             state["codes"], state["n"], state["pt"], state["energy"],
@@ -926,17 +1134,19 @@ class FoldEngine:
     # ---------------- host API
     def run(self, seqs, collect_traj=False):
         state = self.init_state(seqs)
+        if not collect_traj:
+            # whole fold in one device program (host round-trips cost
+            # ~27 ms on this backend)
+            state = self._steps(state, self.cfg.max_steps)
+            return self._beams(state, len(seqs)), state
         traj = []
         for _ in range(self.cfg.max_steps):
             if bool(np.asarray(state["done"]).all()):
                 break
-            if collect_traj:
-                traj.append(self._beams(state, len(seqs)))
+            traj.append(self._beams(state, len(seqs)))
             state = self._step(state)
         beams = self._beams(state, len(seqs))
-        if collect_traj:
-            return beams, traj, state
-        return beams, state
+        return beams, traj, state
 
     def _beams(self, state, nseq):
         from rafft_tpu.struct import dot_bracket

@@ -112,6 +112,40 @@ def row_lookup(tab, idx):
     return out.reshape((idx.shape[0],) + tab.shape[1:]).astype(tab.dtype)
 
 
+def flat_lookup_multi(tabs2d, lin):
+    """tabs2d[lin, :] for a [n, T] stack of T tables sharing one index
+    array — one one-hot dot for all T tables (vs T separate lookups)."""
+    n, T = tabs2d.shape
+    if _nelem(lin) < _MIN_IDX or n > _MAX_TAB:
+        return tabs2d[lin]
+    oh = (lin[..., None] == jnp.arange(n, dtype=lin.dtype)
+          ).astype(jnp.float32)
+    out = jnp.einsum('...n,nt->...t', oh, tabs2d.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.astype(tabs2d.dtype)
+
+
+def row_col_lookup(tab2d, row, col):
+    """tab2d[row, col] for a [Rows, C] table with C small (< ~32).
+
+    Large index sets run as a row-select one-hot matmul (MXU) followed
+    by a C-wide one-hot contraction — exact for integer values
+    |v| < 2^24 (selection multiplies by exactly 0.0/1.0 under HIGHEST
+    precision).  Small index sets use the plain gather."""
+    Rn, Cn = tab2d.shape
+    if _nelem(row) < _MIN_IDX or Rn > 2048:
+        return tab2d[row, col]
+    ohr = (row[..., None] == jnp.arange(Rn, dtype=row.dtype)
+           ).astype(jnp.float32)
+    rows = jnp.einsum('...r,rc->...c', ohr, tab2d.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
+    ohc = (col[..., None] == jnp.arange(Cn, dtype=col.dtype)
+           ).astype(jnp.float32)
+    out = jnp.einsum('...c,...c->...', rows, ohc,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.astype(tab2d.dtype)
+
+
 def diag_extract(tabs, idx):
     """Gather several [..., N] tables at a shared large index array.
 

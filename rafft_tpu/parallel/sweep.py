@@ -102,8 +102,10 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
             db, e = rows[0]
             if best_of_k:
                 ppv, sens, db_best = best_of([d for d, _ in rows], true_db)
-                e = dict(rows)[db_best]
-                db = db_best
+                emap = dict(rows)
+                if db_best in emap:      # best_of's all-dots default is
+                    e = emap[db_best]    # not one of the saved rows
+                    db = db_best
             else:
                 ppv, sens = score_structures(db, true_db)
             results[i] = dict(seq=seq, len_seq=len(seq), struct=db,
@@ -111,43 +113,18 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
                               nbp=db.count("("), pvv=ppv, sens=sens,
                               name=name)
 
-        # continuous batching: finished slots immediately take fresh
-        # sequences so the chip never idles on the batch's slowest fold
-        pending = list(idxs)[::-1]            # pop() serves in order
-        slot_rec = [pending.pop() if pending else None for _ in range(batch)]
-        state = eng.init_state([records[i][0] for i in slot_rec
-                                if i is not None])
-        if mesh is not None:
-            state = shard_state(state, mesh)
+        # device-side continuous batching: the chip swaps finished lanes
+        # onto preloaded shadow sequences inside one device program; the
+        # host drains banked results every few steps (engine.run_stream)
+        shard = (lambda st: shard_state(st, mesh)) if mesh is not None \
+            else None
+        bucket_seqs = [records[i][0] for i in idxs]
         n_done = 0
-        slot_steps = [0] * batch
-        while any(i is not None for i in slot_rec):
-            state = eng._step(state)
-            done = np.asarray(state["done"])
-            fins = []
-            for b in range(batch):
-                if slot_rec[b] is None:
-                    continue
-                slot_steps[b] += 1
-                if done[b] or slot_steps[b] >= cfg.max_steps * 2:
-                    fins.append(b)
-            if not fins:
-                continue
-            beams = eng._beams(state, batch)
-            flg = (np.asarray(state["enum_suspect"])
-                   + np.asarray(state["cplx_dropped"]))
-            for b in fins:
-                flagged = bool(flg[b] > 0) or not done[b]
-                n_fallback += int(flagged)
-                finish(slot_rec[b], beams[b], flagged)
-                n_done += 1
-            refill_seqs = []
-            for b in fins:
-                slot_rec[b] = pending.pop() if pending else None
-                slot_steps[b] = 0
-                refill_seqs.append(records[slot_rec[b]][0]
-                                   if slot_rec[b] is not None else None)
-            state = eng.refill(state, fins, refill_seqs)
+        for local_i, rows, flagged in eng.run_stream(bucket_seqs,
+                                                     shard=shard):
+            n_fallback += int(flagged)
+            finish(idxs[local_i], rows, flagged)
+            n_done += 1
             if progress:
                 progress(N, n_done, len(idxs))
         if checkpoint:
