@@ -132,6 +132,75 @@ def shapiro(structure: str) -> str:
     return "(R" + "".join(render(a, b) for a, b in childs) + ")"
 
 
+def shapiro_weighted(structure: str) -> str:
+    """Size-annotated Shapiro notation (RNA.b2Shapiro semantics,
+    utility/utils_analysis.py:84): loop tokens carry the number of
+    unpaired bases in the loop (H/B/I/M/E), stems the number of pairs
+    (S) — e.g. '((((...)))).' -> '(((H3)S4)E1R)'."""
+    n = len(structure)
+    pt = pair_table(structure)
+
+    def members(i, j):
+        out = []
+        k = i + 1
+        while k < j:
+            if pt[k] > k:
+                out.append((k, pt[k]))
+                k = pt[k] + 1
+            else:
+                out.append((k, -1))
+                k += 1
+        return out
+
+    def stem(i, j):
+        k1, k2 = i, j
+        ln = 1
+        while k1 + 1 < k2 and pt[k1 + 1] == k2 - 1:
+            k1 += 1
+            k2 -= 1
+            ln += 1
+        return k1, k2, ln
+
+    def loop(i, j):
+        mem = members(i, j)
+        childs = [(a, b) for a, b in mem if b >= 0]
+        un = sum(1 for _a, b in mem if b < 0)
+        if not childs:
+            return f"(H{un})"
+        inner = "".join(render(a, b) for a, b in childs)
+        if len(childs) == 1:
+            if un == 0 or (childs[0][0] - i - 1 == 0
+                           or j - childs[0][1] - 1 == 0):
+                return f"({inner}B{un})" if un else f"({inner}B0)"
+            return f"({inner}I{un})"
+        return f"({inner}M{un})"
+
+    def render(i, j):
+        k1, k2, ln = stem(i, j)
+        return f"({loop(k1, k2)}S{ln})"
+
+    top = members(-1, n)
+    childs = [(a, b) for a, b in top if b >= 0]
+    un = sum(1 for _a, b in top if b < 0)
+    inner = "".join(render(a, b) for a, b in childs)
+    return f"({inner}E{un}R)"
+
+
+def loop_content_sized(structure: str):
+    """Size-weighted loop composition fractions (I, S, M, H, E, B) —
+    the reference's get_loop_content (utils_analysis.py:83-101)."""
+    import re
+
+    sh = shapiro_weighted(structure)
+    tot = {}
+    for t in "ISMHEB":
+        tot[t] = sum(int(x) for x in re.findall(t + r"(\d+)", sh))
+    s = sum(tot.values())
+    if s == 0:
+        return (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    return tuple(tot[t] / s for t in "ISMHEB")
+
+
 def loop_content(structure: str) -> Counter:
     """Counts of loop types in the coarse-grained notation
     (analysis.org loop-composition statistics, utils_analysis.py:83-101)."""

@@ -46,13 +46,22 @@ def bucket_of(n, buckets):
     return None
 
 
+def bucket_batch(batch, N):
+    """Per-bucket batch size: engine working-set scales ~linearly in N,
+    so long buckets shrink the batch to stay inside HBM."""
+    return max(1, batch * 256 // max(N, 256))
+
+
 def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
           buckets=DEFAULT_BUCKETS, batch=16, mesh=None, best_of_k=False,
           progress=None, checkpoint=None):
     """Fold every record; returns list of result dicts in input order.
 
-    best_of_k: also report all max_stack saved structures (for the
-    best-PPV selection used by fft_*_scores.csv)."""
+    Each result carries BOTH selections the reference publishes: the
+    best-energy structure (struct/nrj/pvv/sens, score_best.py) and the
+    best-PPV structure among the max_stack saved ones
+    (struct_bk/nrj_bk/pvv_bk/sens_bk, get_best_score.py).  best_of_k
+    selects which pair fills the primary columns."""
     from rafft_tpu.engine.fold_jax import FoldEngine, EngineConfig
     from rafft_tpu.scoring import score_structures, best_of
     from rafft_tpu.parallel.mesh import shard_state
@@ -81,7 +90,7 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
                            max_branch=max_branch,
                            V=min(8192, max(256, 4 * max_branch)),
                            S=max(16384, 32 * max_stack))
-        eng = FoldEngine(cfg, B=batch)
+        eng = FoldEngine(cfg, B=bucket_batch(batch, N))
         t_bucket = time.time()
 
         def finish(i, rows, flagged):
@@ -100,18 +109,24 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
             if not rows:
                 rows = [("." * len(seq), 0.0)]
             db, e = rows[0]
-            if best_of_k:
-                ppv, sens, db_best = best_of([d for d, _ in rows], true_db)
-                emap = dict(rows)
-                if db_best in emap:      # best_of's all-dots default is
-                    e = emap[db_best]    # not one of the saved rows
-                    db = db_best
-            else:
-                ppv, sens = score_structures(db, true_db)
-            results[i] = dict(seq=seq, len_seq=len(seq), struct=db,
-                              nrj=float(np.float32(e)),
+            ppv, sens = score_structures(db, true_db)
+            ppv_bk, sens_bk, db_bk = best_of([d for d, _ in rows], true_db)
+            emap = dict(rows)
+            e_bk = emap.get(db_bk, 0.0)
+            if db_bk not in emap:        # best_of's all-dots default is
+                db_bk, ppv_bk, sens_bk = db, ppv, sens
+                e_bk = e
+            results[i] = dict(seq=seq, len_seq=len(seq),
+                              struct=db, nrj=float(np.float32(e)),
                               nbp=db.count("("), pvv=ppv, sens=sens,
+                              struct_bk=db_bk, nrj_bk=float(np.float32(e_bk)),
+                              pvv_bk=ppv_bk, sens_bk=sens_bk,
                               name=name)
+            if best_of_k:
+                results[i].update(struct=db_bk,
+                                  nrj=float(np.float32(e_bk)),
+                                  nbp=db_bk.count("("),
+                                  pvv=ppv_bk, sens=sens_bk)
 
         # device-side continuous batching: the chip swaps finished lanes
         # onto preloaded shadow sequences inside one device program; the
@@ -144,12 +159,20 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
     return results
 
 
-def write_results_csv(results, path):
+def write_results_csv(results, path, selection="best_nrj"):
+    """Reference result-CSV schema (fft_100n_50ms_scores.csv:1).
+
+    selection: 'best_nrj' = lowest-energy structure (score_best.py),
+    'best_of_k' = best-PPV among the saved beam (get_best_score.py)."""
     with open(path, "w") as fh:
         fh.write("seq,len_seq,struct,nrj,nbp,pvv,sens,name\n")
         for r in results:
             if r is None:
                 continue
+            if selection == "best_of_k" and "struct_bk" in r:
+                r = dict(r, struct=r["struct_bk"], nrj=r["nrj_bk"],
+                         nbp=r["struct_bk"].count("("),
+                         pvv=r["pvv_bk"], sens=r["sens_bk"])
             fh.write("{seq},{len_seq},{struct},{nrj},{nbp},{pvv},{sens},{name}\n"
                      .format(**r))
 
@@ -166,6 +189,7 @@ def main(argv=None):
     ap.add_argument("--buckets", default=",".join(map(str, DEFAULT_BUCKETS)))
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--best_of_k", action="store_true")
+    ap.add_argument("--out_bk", help="also write the best-of-k selection CSV")
     ap.add_argument("--devices", type=int, help="data-parallel device count")
     ap.add_argument("--checkpoint", help="bucket-resume journal path")
     args = ap.parse_args(argv)
@@ -193,7 +217,10 @@ def main(argv=None):
                     batch=args.batch, mesh=mesh, best_of_k=args.best_of_k,
                     progress=progress, checkpoint=args.checkpoint)
     dt = time.time() - t0
-    write_results_csv(results, args.out)
+    write_results_csv(results, args.out,
+                      "best_of_k" if args.best_of_k else "best_nrj")
+    if args.out_bk:
+        write_results_csv(results, args.out_bk, "best_of_k")
     ok = [r for r in results if r]
     mean_ppv = np.mean([r["pvv"] for r in ok]) if ok else 0.0
     mean_sens = np.mean([r["sens"] for r in ok]) if ok else 0.0
