@@ -1,0 +1,85 @@
+"""Multi-host (multi-controller) runtime.
+
+The reference's only cross-machine story is one subprocess per sequence
+on a shared filesystem (benchmark_results/bench_fft.py:7-21).  The
+TPU-native equivalent is JAX's multi-controller runtime: every host
+runs the same program, `jax.distributed.initialize` wires the hosts
+into one JAX runtime over DCN, and the fold sweep shards the corpus by
+process — the fold itself needs no inter-chip communication (SURVEY
+§2.3), so the only collectives are metric reductions at the end.
+
+Usage (one line per host, or via parallel/launch.py locally):
+
+    python -m rafft_tpu.parallel.sweep --csv ... --out out.csv \
+        --coordinator HOST0:9911 --num_processes 4 --process_id $ID
+
+Each process folds `records[process_id::num_processes]` on its local
+chips and writes `<out>.part<process_id>`; process 0 gathers the rows
+(via the shared filesystem, mirroring the reference's CSV aggregation)
+and writes the merged CSV.  `global_mean` shows the DCN metric path.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+
+
+def init_multihost(coordinator: str, num_processes: int, process_id: int,
+                   local_device_ids=None):
+    """Wire this process into the multi-controller runtime.
+
+    coordinator: 'host:port' of process 0 (jax.distributed.initialize).
+    Returns (process_index, process_count, local_devices, global_devices).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    return (jax.process_index(), jax.process_count(),
+            jax.local_devices(), jax.devices())
+
+
+def shard_records(records, process_id: int, num_processes: int):
+    """This process's slice of the corpus (strided so length buckets
+    stay balanced across hosts)."""
+    return list(records)[process_id::num_processes]
+
+
+def global_mean(value: float, count: int = 1):
+    """Mean of a per-host scalar over all hosts (DCN all-reduce via a
+    tiny jitted psum over one global device per host)."""
+    from jax.experimental import multihost_utils
+
+    arr = np.asarray([value * count, count], np.float64)
+    tot = multihost_utils.process_allgather(arr)
+    s = tot.sum(axis=0)
+    return float(s[0] / max(s[1], 1))
+
+
+def merge_parts(out_path: str, num_processes: int, header: str):
+    """Process-0 merge of the per-host part files (shared filesystem,
+    the reference's aggregation model)."""
+    rows = []
+    for p in range(num_processes):
+        part = f"{out_path}.part{p}"
+        # wait for every host to finish writing (file ends with \n#done\n)
+        for _ in range(3600):
+            if os.path.exists(part) and open(part).read().endswith("#done\n"):
+                break
+            time.sleep(1)
+        with open(part) as fh:
+            for line in fh:
+                if (line.startswith("#") or line == header
+                        or not line.strip()):
+                    continue
+                rows.append(line)
+    with open(out_path, "w") as fh:
+        fh.write(header)
+        fh.writelines(rows)
+    return len(rows)

@@ -192,6 +192,10 @@ def main(argv=None):
     ap.add_argument("--out_bk", help="also write the best-of-k selection CSV")
     ap.add_argument("--devices", type=int, help="data-parallel device count")
     ap.add_argument("--checkpoint", help="bucket-resume journal path")
+    ap.add_argument("--coordinator",
+                    help="host:port of process 0 (multi-host mode)")
+    ap.add_argument("--num_processes", type=int, default=1)
+    ap.add_argument("--process_id", type=int, default=0)
     args = ap.parse_args(argv)
 
     records = load_benchmark_csv(args.csv)
@@ -199,6 +203,16 @@ def main(argv=None):
         records = [r for r in records if len(r[0]) <= args.max_len]
     if args.limit:
         records = records[: args.limit]
+
+    multihost = args.coordinator is not None
+    if multihost:
+        from rafft_tpu.parallel.distributed import (init_multihost,
+                                                    shard_records)
+        pid, pcount, _ld, _gd = init_multihost(
+            args.coordinator, args.num_processes, args.process_id)
+        print(f"[multihost] process {pid}/{pcount}: "
+              f"{len(_ld)} local / {len(_gd)} global devices", flush=True)
+        records = shard_records(records, pid, pcount)
 
     mesh = None
     if args.devices and args.devices > 1:
@@ -217,8 +231,28 @@ def main(argv=None):
                     batch=args.batch, mesh=mesh, best_of_k=args.best_of_k,
                     progress=progress, checkpoint=args.checkpoint)
     dt = time.time() - t0
-    write_results_csv(results, args.out,
-                      "best_of_k" if args.best_of_k else "best_nrj")
+    sel = "best_of_k" if args.best_of_k else "best_nrj"
+    if multihost:
+        # every host writes its part; process 0 merges (shared
+        # filesystem, the reference's CSV aggregation model) and the
+        # summary metrics reduce over DCN
+        from rafft_tpu.parallel.distributed import merge_parts, global_mean
+        part = f"{args.out}.part{pid}"
+        write_results_csv(results, part, sel)
+        with open(part, "a") as fh:
+            fh.write("#done\n")
+        ok = [r for r in results if r]
+        mean_ppv = global_mean(
+            float(np.mean([r["pvv"] for r in ok])) if ok else 0.0, len(ok))
+        mean_sens = global_mean(
+            float(np.mean([r["sens"] for r in ok])) if ok else 0.0, len(ok))
+        if pid == 0:
+            header = "seq,len_seq,struct,nrj,nbp,pvv,sens,name\n"
+            ntot = merge_parts(args.out, pcount, header)
+            print(f"{ntot} sequences merged; global mean PPV "
+                  f"{mean_ppv:.2f} mean sens {mean_sens:.2f}")
+        return
+    write_results_csv(results, args.out, sel)
     if args.out_bk:
         write_results_csv(results, args.out_bk, "best_of_k")
     ok = [r for r in results if r]
