@@ -189,9 +189,10 @@ def _kernel(mmax_ref, rcodes_ref, rpos_ref, mlen_ref,
     stitch(msE_ref, c_sE, bsE_s, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("R", "N", "min_hp", "wn", "ptn", "stn"))
+@partial(jax.jit, static_argnames=("R", "N", "min_hp", "wn", "ptn", "stn",
+                                   "interpret"))
 def _wavefront_call(rcodes, rpos, mlen, mmax, *, R, N, min_hp,
-                    wn, ptn, stn):
+                    wn, ptn, stn, interpret=False):
     K = rcodes.shape[0]
     Wn = np.asarray(wn, np.float32).reshape(5, 5)
     PTn = np.asarray(ptn, np.int64).reshape(5, 5)
@@ -226,20 +227,25 @@ def _wavefront_call(rcodes, rpos, mlen, mmax, *, R, N, min_hp,
         out_specs=tuple([bs_out] * 5),
         scratch_shapes=scratch,
         out_shape=out_shapes,
+        interpret=interpret,
     )(mmax[:, None], rcodes, rpos, mlen_b)
 
 
-def wavefront_tables(cfg, dp, W, rcodes, rpos, mlen):
+def wavefront_tables(cfg, dp, W, rcodes, rpos, mlen, interpret=False):
     """Per-lag window-scan tables, [K, R, 2N] each.
 
     Returns dict(cor_raw, max_nb, max_i, max_j, best_sE); cor_raw is the
     UN-normalised correlation (caller divides by the triangle+pad norm).
-    Call per batch element (vmap extends the pallas grid)."""
+    Call per batch element (vmap extends the pallas grid).
+
+    interpret=True runs the kernel through the Pallas interpreter so the
+    TPU-only path is testable on the CPU suite (tests/test_wavefront.py)."""
     mmax = jnp.max(mlen, axis=-1).astype(jnp.int32)        # [K]
     cor, nb, mi, mj, sE = _wavefront_call(
         rcodes, rpos, mlen, mmax,
         R=cfg.R, N=cfg.N, min_hp=cfg.min_hp,
         wn=tuple(np.asarray(W, np.float32).reshape(-1).tolist()),
         ptn=tuple(np.asarray(dp.pair_type).reshape(-1).tolist()),
-        stn=tuple(np.asarray(dp.stack).reshape(-1).tolist()))
+        stn=tuple(np.asarray(dp.stack).reshape(-1).tolist()),
+        interpret=interpret)
     return dict(cor_raw=cor, max_nb=nb, max_i=mi, max_j=mj, best_sE=sE)

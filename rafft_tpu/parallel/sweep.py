@@ -54,8 +54,15 @@ def bucket_batch(batch, N):
 
 def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
           buckets=DEFAULT_BUCKETS, batch=16, mesh=None, best_of_k=False,
-          progress=None, checkpoint=None):
+          progress=None, checkpoint=None, save_beams=None, stats=None):
     """Fold every record; returns list of result dicts in input order.
+
+    save_beams: optional jsonl path; every folded sequence appends
+    {name, seq, flagged, beam: [[db, nrj], ...]} so any best-of-k
+    selection rule can be re-scored offline without re-folding
+    (sequences restored from a checkpoint are not re-appended).
+    stats: optional dict populated with run counters (n_fallback,
+    per-bucket timings) for the run manifest.
 
     Each result carries BOTH selections the reference publishes: the
     best-energy structure (struct/nrj/pvv/sens, score_best.py) and the
@@ -92,6 +99,7 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
                            S=max(16384, 32 * max_stack))
         eng = FoldEngine(cfg, B=bucket_batch(batch, N))
         t_bucket = time.time()
+        beam_fh = open(save_beams, "a") if save_beams else None
 
         def finish(i, rows, flagged):
             seq, true_db, name = records[i]
@@ -108,6 +116,11 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
                 rows = [(s.str_struct, s.energy) for s in structs]
             if not rows:
                 rows = [("." * len(seq), 0.0)]
+            if beam_fh is not None:
+                beam_fh.write(json.dumps(dict(
+                    name=name, seq=seq, flagged=bool(flagged),
+                    beam=[[d, float(np.float32(ee))] for d, ee in rows]))
+                    + "\n")
             db, e = rows[0]
             ppv, sens = score_structures(db, true_db)
             ppv_bk, sens_bk, db_bk = best_of([d for d, _ in rows], true_db)
@@ -142,6 +155,8 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
             n_done += 1
             if progress:
                 progress(N, n_done, len(idxs))
+        if beam_fh is not None:
+            beam_fh.close()
         if checkpoint:
             with open(checkpoint, "a") as fh:
                 for i in idxs:
@@ -150,12 +165,18 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
                         row["_idx"] = i
                         row["_bucket"] = N
                         fh.write(json.dumps(row) + "\n")
+        if stats is not None:
+            stats.setdefault("buckets", {})[str(N)] = dict(
+                n=len(idxs), secs=round(time.time() - t_bucket, 1),
+                batch=bucket_batch(batch, N))
         if progress:
             progress(N, len(idxs), len(idxs),
                      done=True, secs=time.time() - t_bucket)
     if n_fallback:
         print(f"[sweep] {n_fallback} sequences re-folded on the CPU "
               f"parity engine (enumeration/budget flags)", flush=True)
+    if stats is not None:
+        stats["n_fallback"] = n_fallback
     return results
 
 
@@ -192,6 +213,9 @@ def main(argv=None):
     ap.add_argument("--out_bk", help="also write the best-of-k selection CSV")
     ap.add_argument("--devices", type=int, help="data-parallel device count")
     ap.add_argument("--checkpoint", help="bucket-resume journal path")
+    ap.add_argument("--save-beams", dest="save_beams",
+                    help="jsonl path: full saved beam per sequence, for "
+                         "offline best-of-k re-scoring")
     ap.add_argument("--coordinator",
                     help="host:port of process 0 (multi-host mode)")
     ap.add_argument("--num_processes", type=int, default=1)
@@ -225,13 +249,22 @@ def main(argv=None):
                   f"({total/max(secs,1e-9):.2f} seq/s)", flush=True)
 
     t0 = time.time()
+    stats = {}
     results = sweep(records, nb_mode=args.n_mode, max_stack=args.max_stack,
                     max_branch=args.max_branch,
                     buckets=tuple(int(x) for x in args.buckets.split(",")),
                     batch=args.batch, mesh=mesh, best_of_k=args.best_of_k,
-                    progress=progress, checkpoint=args.checkpoint)
+                    progress=progress, checkpoint=args.checkpoint,
+                    save_beams=args.save_beams, stats=stats)
     dt = time.time() - t0
     sel = "best_of_k" if args.best_of_k else "best_nrj"
+    # run manifest: the exact configuration + counters that produced the
+    # result CSVs (VERDICT r3: sweeps must not run with unrecorded flags)
+    manifest = dict(argv=vars(args), n_records=len(records),
+                    elapsed_s=round(dt, 1), **stats)
+    with open(f"{args.out}.manifest.json", "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     if multihost:
         # every host writes its part; process 0 merges (shared
         # filesystem, the reference's CSV aggregation model) and the

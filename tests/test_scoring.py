@@ -26,9 +26,17 @@ def test_best_of_picks_max_ppv():
     # "......" has no pairs (ppv 0); the exact match wins
     ppv, sens, db = best_of(["((..))", "......"], "((..))")
     assert db == "((..))" and ppv == 100.0
-    # ties keep the LAST maximum (reference get_best_score semantics)
-    ppv2, sens2, db2 = best_of(["((..))", "((..))"[::-1][::-1]], "((..))")
-    assert db2 == "((..))"
+    # on PPV ties the LOWEST-energy (earliest in the energy-ascending
+    # beam) structure wins — matches the frozen reference artifact's
+    # tie-break (see scoring.best_of docstring)
+    truth = "((((....))))"
+    dense = "((((....))))"   # beam index 0 (lowest energy)
+    sparse = ".(((....)))."  # beam index 1, also PPV 100 under slip
+    ppv2, sens2, db2 = best_of([dense, sparse], truth)
+    assert db2 == dense and sens2 == 100.0
+    # empty predictions are skipped even on 0-PPV ties (scorer nan quirk)
+    ppv3, sens3, db3 = best_of(["......", "(...)."], ".(...)")
+    assert db3 == "(...)."
 
 
 @needs_ref
