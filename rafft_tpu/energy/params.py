@@ -8,10 +8,12 @@ and the C++ native oracle.
 
 Temperature scaling follows the standard nearest-neighbour rescale
     dG(T) = dH - (dH - dG37) * (T + K0) / (37 + K0)
-Enthalpy tables are not part of the frozen parity corpus (all reference
-numbers are at 37 C); where dH is unknown we use dH = dG37, which makes
-dG temperature-independent for that term.  At T=37 C all parameters are
-exact regardless.
+with the enthalpy model of energy/_enthalpy.py: published Xia-1998
+enthalpies for WC stacks and the terminal-AU penalty, an entropic
+(dH = 0) model for loop initiations / multiloop / ninio / lxc, and
+athermal (dH = dG37) for terms with no in-environment enthalpy source
+(GU stacks, mismatches, dangles).  At T=37 C all parameters are exact
+regardless (the frozen parity corpus is entirely at 37 C).
 """
 
 from __future__ import annotations
@@ -123,8 +125,28 @@ def get_params(temperature: float = 37.0) -> EnergyParams:
     )
     p = _apply_overrides(p)
     if temperature != 37.0:
-        # dH unknown -> athermal terms stay constant; lxc scales with T.
+        # dG(T) = dH - (dH - dG37) * T/T37 (rafft/utils.py:18-21 via
+        # RNA.md().temperature).  Enthalpy model: WC stacks + terminal
+        # AU from Xia 1998; loop initiations / multiloop / ninio / lxc
+        # purely entropic (dH = 0, scale with T); everything else
+        # athermal -- see energy/_enthalpy.py.  Calibrated dG37
+        # overrides are applied BEFORE rescaling so T=37 stays
+        # corpus-exact and other temperatures extrapolate from the
+        # pinned values.
+        from rafft_tpu.energy._enthalpy import (STACK_DH, TERMINAL_AU_DH,
+                                                rescale)
         tempf = (temperature + T.K0) / (T.TEMP_MEASURE + T.K0)
+        zero = np.int32(0)
+        p.stack = rescale(p.stack, STACK_DH, tempf)
+        p.hairpin = rescale(p.hairpin, zero, tempf)
+        p.bulge = rescale(p.bulge, zero, tempf)
+        p.internal = rescale(p.internal, zero, tempf)
+        p.terminal_au = int(rescale(p.terminal_au, TERMINAL_AU_DH, tempf))
+        p.ml_base = int(rescale(p.ml_base, zero, tempf))
+        p.ml_closing = int(rescale(p.ml_closing, zero, tempf))
+        p.ml_intern = int(rescale(p.ml_intern, zero, tempf))
+        p.ninio_m = int(rescale(p.ninio_m, zero, tempf))
+        p.ninio_max = int(rescale(p.ninio_max, zero, tempf))
         p.lxc = T.LXC * tempf
     p.finalize()
     return p
