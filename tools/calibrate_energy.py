@@ -61,6 +61,10 @@ FREE_KEYS = {("hairpin", 27), ("hairpin", 29), ("internal", 29),
              ("bulge", 19), ("bulge", 20), ("bulge", 27), ("bulge", 30)}
 
 
+# populated by project_to_prior for reporting (tools/table_coverage.py)
+LAST_PROJECT_SUMMARY = None
+
+
 def _is_fixed(k):
     return k[0] in FIXED_KINDS and k not in FREE_KEYS
 
@@ -155,6 +159,116 @@ def coordinate_refine(A_csc, b, theta, tols=None, max_rounds=60):
     return theta, resid
 
 
+def project_to_prior(A, A_csc, b, theta, prior, tols, rounds=3):
+    """Null-space projection toward the published tables (VERDICT r3 #9).
+
+    The train system is underdetermined: many integer theta satisfy it
+    exactly, and the LSQR/coordinate-descent path parks arbitrary mass on
+    weakly-coupled keys.  Among the exact solutions we want the one
+    closest to the published Turner-2004 prior (the true oracle is
+    ViennaRNA's implementation of those tables, so unconstrained
+    directions generalise best at the literature value).  Continuous
+    solution: project g = prior - theta onto null(A) via the min-norm
+    LSQR solve of A x = A g (then d = g - x has A d ~= 0); integer
+    rounding is repaired by coordinate descent.  Accepted only when the
+    satisfied-row count does not drop and the L1 distance to prior
+    shrinks."""
+    def wl1_sat(th):
+        r = b - A_csc @ th
+        return int((np.abs(r) <= tols).sum())
+
+    global LAST_PROJECT_SUMMARY
+    best_theta = theta
+    best_sat = wl1_sat(theta)
+    best_dist = np.abs(theta - prior).sum()
+    LAST_PROJECT_SUMMARY = dict(dist0=int(best_dist), sat0=int(best_sat),
+                                moved=0, dist1=int(best_dist))
+    for it in range(rounds):
+        g = (prior - best_theta).astype(np.float64)
+        if not g.any():
+            break
+        sol = spla.lsqr(A, A @ g, damp=1e-7, atol=1e-13, btol=1e-13,
+                        iter_lim=40000)
+        d = np.round(g - sol[0]).astype(np.int64)
+        if not d.any():
+            break
+        cand = best_theta + d
+        cand, _ = coordinate_refine(A_csc, b, cand, tols, max_rounds=40)
+        sat, dist = wl1_sat(cand), np.abs(cand - prior).sum()
+        print(f"project-to-prior it{it}: moved {int((d != 0).sum())} keys; "
+              f"satisfied {sat} (was {best_sat}), |theta-prior|_1 "
+              f"{dist} (was {best_dist})")
+        LAST_PROJECT_SUMMARY.update(moved=int((d != 0).sum()),
+                                    dist1=int(min(dist, best_dist)))
+        if sat >= best_sat and dist < best_dist:
+            best_theta, best_sat, best_dist = cand, sat, dist
+        else:
+            break
+    return best_theta, b - A_csc @ best_theta
+
+
+def prune_to_prior(A_csc, b, theta, prior, tols, max_rounds=8):
+    """Post-fit override pruning (VERDICT r3 #9): revert fitted keys to
+    their published Turner-2004 prior wherever the corpus does not
+    contradict it.
+
+    The LSQR + coordinate-descent fit can park null-space mass on
+    weakly-supported keys (many (theta, theta') satisfy the train rows
+    equally).  Among those solutions we prefer the one closest to the
+    published tables — the true oracle is ViennaRNA's Turner-2004
+    implementation, so unconstrained coordinates should generalise best
+    at their literature value.  Greedy, low-support-first single-key
+    reverts (full or partial) that keep the windowed-L1 loss
+    non-increasing; iterated to a fixed point."""
+    theta = theta.copy()
+    resid = b - A_csc @ theta
+    indptr, indices, data = A_csc.indptr, A_csc.indices, A_csc.data
+    support = np.diff(indptr)
+
+    def wl1(r, t):
+        return np.maximum(0.0, np.abs(r) - t).sum()
+
+    n_revert = n_partial = 0
+    for _ in range(max_rounds):
+        changed = 0
+        off = np.nonzero(theta != prior)[0]
+        for j in off[np.argsort(support[off])]:
+            sl = slice(indptr[j], indptr[j + 1])
+            r_rows = indices[sl]
+            c = data[sl]
+            r = resid[r_rows]
+            t = tols[r_rows]
+            cur = wl1(r, t)
+            want = int(prior[j] - theta[j])
+            best_d, best = 0, cur
+            # full revert first, then bisected partial steps toward prior
+            steps = {want}
+            d = want
+            while abs(d) > 1:
+                d = int(np.trunc(d / 2))
+                steps.add(d)
+            for d in sorted(steps, key=lambda x: -abs(x)):
+                loss = wl1(r - c * d, t)
+                if loss < best or (loss == best and best_d == 0 and d != 0):
+                    best, best_d = loss, d
+                    if d == want:
+                        break
+            if best_d != 0 and best <= cur:
+                theta[j] += best_d
+                resid[r_rows] = resid[r_rows] - c * best_d
+                changed += 1
+                if theta[j] == prior[j]:
+                    n_revert += 1
+                else:
+                    n_partial += 1
+        if changed == 0:
+            break
+    print(f"prune-to-prior: {n_revert} keys reverted to published value, "
+          f"{n_partial} moved toward it; off-prior keys "
+          f"{int((theta != prior).sum())}, wL1 {wl1(resid, tols):.0f}")
+    return theta, resid
+
+
 def golden_lines():
     """(seq, struct, e10) rows from the golden example outputs — energies
     printed to 1 decimal, so each is a +-5 dekacal window constraint that
@@ -206,6 +320,10 @@ def main(out_path="rafft_tpu/energy/_calibrated.py", corpus=None):
         theta, resid = coordinate_refine(A_csc, b, theta, tols)
         if (np.abs(resid) <= tols).all():
             break
+
+    prior_i = np.round(th0).astype(np.int64)
+    theta, resid = project_to_prior(A, A_csc, b, theta, prior_i, tols)
+    theta, resid = prune_to_prior(A_csc, b, theta, prior_i, tols)
 
     exact_rows = int((np.abs(resid) <= tols).sum())
     print(f"final: satisfied rows {exact_rows}/{len(b)}")

@@ -145,6 +145,59 @@ def main():
          f"({100.0 * ok_h / max(n, 1):.2f}% — never saw these rows)")
     emit(f"- train rows exact, held-out fit:         {ok_t}/{nt}")
 
+    # ---- 3. misfit attribution (VERDICT r3 #9: why not >=95%)
+    emit()
+    emit("## Misfit attribution — why prior-preference cannot close the "
+         "gap")
+    emit()
+    train_keys = set()
+    for seq, struct, _e in corpus_train:
+        feats, _off = featurize(seq, struct, p0, specials_as_params=True)
+        train_keys.update(feats)
+    all_keys = set(train_keys)
+    mis = mis_unseen = 0
+    errs = []
+    unseen_kinds = Counter()
+    for seq, struct, e in corpus_held:
+        feats, off = featurize(seq, struct, p_held,
+                               specials_as_params=True)
+        all_keys.update(feats)
+        pred = off + sum(c * value_of(k, p_held)
+                         for k, c in feats.items())
+        if pred != e:
+            mis += 1
+            errs.append(abs(pred - e))
+            unseen = [k for k in feats if k not in train_keys]
+            if unseen:
+                mis_unseen += 1
+                for k in unseen:
+                    unseen_kinds[k[0]] += 1
+    emit(f"- held-out misfit rows: {mis}; of these, {mis_unseen} touch at "
+         f"least one table key that appears in **no** train row (kinds: "
+         f"{dict(unseen_kinds.most_common())}) — those keys sit at their "
+         f"published prior, which the held-out data contradicts.")
+    if errs:
+        emit(f"- misfit magnitude (dekacal): median {np.median(errs):.0f}, "
+             f"max {max(errs)}")
+    ps = CE.LAST_PROJECT_SUMMARY
+    if ps:
+        emit(f"- null-space projection toward the published tables "
+             f"(tools/calibrate_energy.project_to_prior): of "
+             f"|theta-prior|_1 = {ps['dist0']} dekacal across the fitted "
+             f"keys, only {ps['dist0'] - ps['dist1']} can move toward the "
+             f"prior without breaking an exact train row — the train "
+             f"corpus pins its observed keys essentially uniquely, and "
+             f"the direction the held-out rows pull is *not* toward the "
+             f"published values.  The residual {mis - mis_unseen} "
+             f"misfit rows use only train-pinned keys: ViennaRNA's "
+             f"actual table differs from the published priors in "
+             f"directions only the 200n rows witness (the full-corpus "
+             f"fit, which sees them, is exact on {ok_f}/{n}).")
+    emit(f"- risk surface: {len(train_keys)} distinct table keys observed "
+         f"in train, {len(all_keys)} in the full corpus; every other "
+         f"entry of the free tables is fold-reachable but non-corpus-"
+         f"pinned and evaluates at its published Turner-2004 value.")
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as fh:
         fh.write("\n".join(lines) + "\n")
