@@ -538,6 +538,11 @@ class FoldEngine:
     """Compiled batched fold engine for one (config, batch-size) pair."""
 
     def __init__(self, cfg: EngineConfig, B: int):
+        if cfg.M > 2 * cfg.N - 1:
+            raise ValueError(
+                f"M={cfg.M} exceeds the {2 * cfg.N - 1} correlation lags "
+                f"of an N={cfg.N} region; clamp M to min(nb_mode, 2N-1) "
+                f"(top-lag selection saturates there)")
         self.cfg = cfg
         self.B = B
         self.dp = device_params(cfg.temp, max_len=cfg.N)
@@ -1177,7 +1182,8 @@ def fold_one(sequence, nb_mode=100, max_stack=1, max_branch=100, min_hp=3,
     from rafft_tpu.struct import Structure
 
     N = 1 << max(5, int(np.ceil(np.log2(max(8, len(sequence))))))
-    cfg = EngineConfig(N=N, K=max_stack, M=nb_mode, max_branch=max_branch,
+    cfg = EngineConfig(N=N, K=max_stack, M=min(nb_mode, 2 * N - 1),
+                       max_branch=max_branch,
                        min_hp=min_hp, min_nrj=min_nrj, temp=temp,
                        gc_wei=gc_wei, au_wei=au_wei, gu_wei=gu_wei,
                        V=min(4096, max(256, 2 * max_branch)),

@@ -21,12 +21,23 @@ from __future__ import annotations
 import argparse
 import csv
 import json
+import multiprocessing as mp
 import os
 import time
 
 import numpy as np
 
 DEFAULT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def _cpu_refold(task):
+    """Pool worker: re-fold one flagged sequence on the sequential
+    CPU-parity engine (bit-exact reference semantics)."""
+    i, seq, nb_mode, max_stack, max_branch = task
+    from rafft_tpu.engine.fold_cpu import fold as cpu_fold
+    structs = cpu_fold(seq, nb_mode=nb_mode, max_stack=max_stack,
+                       max_branch=max_branch)
+    return i, [(s.str_struct, s.energy) for s in structs]
 
 
 def load_benchmark_csv(path):
@@ -54,7 +65,8 @@ def bucket_batch(batch, N):
 
 def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
           buckets=DEFAULT_BUCKETS, batch=16, mesh=None, best_of_k=False,
-          progress=None, checkpoint=None, save_beams=None, stats=None):
+          progress=None, checkpoint=None, save_beams=None, stats=None,
+          workers=None, engine="jax"):
     """Fold every record; returns list of result dicts in input order.
 
     save_beams: optional jsonl path; every folded sequence appends
@@ -69,9 +81,12 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
     best-PPV structure among the max_stack saved ones
     (struct_bk/nrj_bk/pvv_bk/sens_bk, get_best_score.py).  best_of_k
     selects which pair fills the primary columns."""
-    from rafft_tpu.engine.fold_jax import FoldEngine, EngineConfig
     from rafft_tpu.scoring import score_structures, best_of
-    from rafft_tpu.parallel.mesh import shard_state
+    if engine == "jax":
+        from rafft_tpu.engine.fold_jax import FoldEngine, EngineConfig
+        from rafft_tpu.parallel.mesh import shard_state
+
+    workers = workers or max(1, mp.cpu_count() - 1)
 
     by_bucket: dict[int, list[int]] = {}
     for i, (seq, _t, _n) in enumerate(records):
@@ -92,28 +107,11 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
     for N, idxs in sorted(by_bucket.items()):
         if N in done_buckets:
             continue
-        R = 16 if N <= 512 else 32
-        cfg = EngineConfig(N=N, K=max_stack, M=nb_mode, R=R,
-                           max_branch=max_branch,
-                           V=min(8192, max(256, 4 * max_branch)),
-                           S=max(16384, 32 * max_stack))
-        eng = FoldEngine(cfg, B=bucket_batch(batch, N))
         t_bucket = time.time()
         beam_fh = open(save_beams, "a") if save_beams else None
 
         def finish(i, rows, flagged):
             seq, true_db, name = records[i]
-            if flagged:
-                # exactness escape hatch: the engine flags sequences whose
-                # combination enumeration window / complex-candidate budget
-                # / seen-set capacity could not guarantee bit-exact
-                # reference semantics; re-fold those on the sequential
-                # parity engine (rare)
-                from rafft_tpu.engine.fold_cpu import fold as cpu_fold
-                structs = cpu_fold(seq, nb_mode=nb_mode,
-                                   max_stack=max_stack,
-                                   max_branch=max_branch)
-                rows = [(s.str_struct, s.energy) for s in structs]
             if not rows:
                 rows = [("." * len(seq), 0.0)]
             if beam_fh is not None:
@@ -141,20 +139,55 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
                                   nbp=db_bk.count("("),
                                   pvv=ppv_bk, sens=sens_bk)
 
-        # device-side continuous batching: the chip swaps finished lanes
-        # onto preloaded shadow sequences inside one device program; the
-        # host drains banked results every few steps (engine.run_stream)
-        shard = (lambda st: shard_state(st, mesh)) if mesh is not None \
-            else None
-        bucket_seqs = [records[i][0] for i in idxs]
         n_done = 0
-        for local_i, rows, flagged in eng.run_stream(bucket_seqs,
-                                                     shard=shard):
-            n_fallback += int(flagged)
-            finish(idxs[local_i], rows, flagged)
-            n_done += 1
-            if progress:
-                progress(N, n_done, len(idxs))
+        pending = []   # flagged sequences: exactness escape hatch — the
+        # engine flags folds whose combination-enumeration window /
+        # complex-candidate budget / seen-set capacity could not
+        # guarantee bit-exact reference semantics; those re-fold on the
+        # sequential CPU-parity engine, in parallel after the stream
+        if engine == "cpu":
+            # TPU-less mode: the whole bucket runs on the sequential
+            # parity engine, fanned out over a process pool (the
+            # reference's Pool model, bench_fft.py:17-21, minus the
+            # per-sequence interpreter respawn)
+            pending = [(i, records[i][0], nb_mode, max_stack, max_branch)
+                       for i in idxs]
+        else:
+            R = 16 if N <= 512 else 32
+            # a region of padded length N has at most 2N-1 correlation
+            # lags, so top-M lag selection saturates there (the reference
+            # just takes every lag when nb_mode exceeds them)
+            cfg = EngineConfig(N=N, K=max_stack,
+                               M=min(nb_mode, 2 * N - 1), R=R,
+                               max_branch=max_branch,
+                               V=min(8192, max(256, 4 * max_branch)),
+                               S=max(16384, 32 * max_stack))
+            eng = FoldEngine(cfg, B=bucket_batch(batch, N))
+            # device-side continuous batching: the chip swaps finished
+            # lanes onto preloaded shadow sequences inside one device
+            # program; the host drains banked results every few steps
+            shard = (lambda st: shard_state(st, mesh)) \
+                if mesh is not None else None
+            bucket_seqs = [records[i][0] for i in idxs]
+            for local_i, rows, flagged in eng.run_stream(bucket_seqs,
+                                                         shard=shard):
+                n_fallback += int(flagged)
+                if flagged:
+                    i = idxs[local_i]
+                    pending.append((i, records[i][0], nb_mode, max_stack,
+                                    max_branch))
+                else:
+                    finish(idxs[local_i], rows, False)
+                n_done += 1
+                if progress:
+                    progress(N, n_done, len(idxs))
+        if pending:
+            with mp.Pool(min(len(pending), workers)) as pool:
+                for i, rows in pool.imap_unordered(_cpu_refold, pending):
+                    finish(i, rows, engine != "cpu")
+                    n_done += 1
+                    if progress and engine == "cpu":
+                        progress(N, n_done, len(idxs))
         if beam_fh is not None:
             beam_fh.close()
         if checkpoint:
@@ -207,12 +240,19 @@ def main(argv=None):
     ap.add_argument("--max_branch", type=int, default=1000)
     ap.add_argument("--limit", type=int, help="only first N records")
     ap.add_argument("--max_len", type=int, help="skip longer sequences")
+    ap.add_argument("--min_len", type=int, help="skip shorter sequences "
+                    "(split a sweep across engines/hosts by length)")
     ap.add_argument("--buckets", default=",".join(map(str, DEFAULT_BUCKETS)))
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--best_of_k", action="store_true")
     ap.add_argument("--out_bk", help="also write the best-of-k selection CSV")
     ap.add_argument("--devices", type=int, help="data-parallel device count")
     ap.add_argument("--checkpoint", help="bucket-resume journal path")
+    ap.add_argument("--fallback-workers", dest="workers", type=int,
+                    help="CPU-parity refold pool size (default: cores-1)")
+    ap.add_argument("--engine", choices=("jax", "cpu"), default="jax",
+                    help="'cpu' folds every bucket on the sequential "
+                         "parity engine via the process pool (no TPU)")
     ap.add_argument("--save-beams", dest="save_beams",
                     help="jsonl path: full saved beam per sequence, for "
                          "offline best-of-k re-scoring")
@@ -225,6 +265,8 @@ def main(argv=None):
     records = load_benchmark_csv(args.csv)
     if args.max_len:
         records = [r for r in records if len(r[0]) <= args.max_len]
+    if args.min_len:
+        records = [r for r in records if len(r[0]) >= args.min_len]
     if args.limit:
         records = records[: args.limit]
 
@@ -255,7 +297,8 @@ def main(argv=None):
                     buckets=tuple(int(x) for x in args.buckets.split(",")),
                     batch=args.batch, mesh=mesh, best_of_k=args.best_of_k,
                     progress=progress, checkpoint=args.checkpoint,
-                    save_beams=args.save_beams, stats=stats)
+                    save_beams=args.save_beams, stats=stats,
+                    workers=args.workers, engine=args.engine)
     dt = time.time() - t0
     sel = "best_of_k" if args.best_of_k else "best_nrj"
     # run manifest: the exact configuration + counters that produced the

@@ -26,14 +26,18 @@ def test_best_of_picks_max_ppv():
     # "......" has no pairs (ppv 0); the exact match wins
     ppv, sens, db = best_of(["((..))", "......"], "((..))")
     assert db == "((..))" and ppv == 100.0
-    # on PPV ties the LOWEST-energy (earliest in the energy-ascending
-    # beam) structure wins — matches the frozen reference artifact's
-    # tie-break (see scoring.best_of docstring)
+    # on PPV ties the structure with the MOST pairs wins (then last in
+    # beam order) — the closest mechanical reconstruction of the frozen
+    # reference artifact's tie-break (see scoring.best_of docstring)
     truth = "((((....))))"
-    dense = "((((....))))"   # beam index 0 (lowest energy)
-    sparse = ".(((....)))."  # beam index 1, also PPV 100 under slip
-    ppv2, sens2, db2 = best_of([dense, sparse], truth)
+    dense = "((((....))))"   # 4 pairs
+    sparse = ".(((....)))."  # 3 pairs, also PPV 100 under slip
+    ppv2, sens2, db2 = best_of([sparse, dense], truth)
     assert db2 == dense and sens2 == 100.0
+    # full (ppv, npairs) tie: last in beam order wins
+    a = "((((....))))"
+    ppv4, sens4, db4 = best_of([a, a], truth)
+    assert db4 == a
     # empty predictions are skipped even on 0-PPV ties (scorer nan quirk)
     ppv3, sens3, db3 = best_of(["......", "(...)."], ".(...)")
     assert db3 == "(...)."

@@ -39,6 +39,7 @@ def _fold_one(task):
     structs = fold(seq, nb_mode=nb_mode, max_stack=max_stack,
                    max_branch=max_branch)
     rows = [(s.str_struct, s.energy) for s in structs]
+    beam = [[d, float(np.float32(ee))] for d, ee in rows]
     db, e = rows[0]
     ppv, sens = score_structures(db, true_db)
     ppv_bk, sens_bk, db_bk = best_of([d for d, _ in rows], true_db)
@@ -49,7 +50,8 @@ def _fold_one(task):
                 pvv=ppv, sens=sens, struct_bk=db_bk,
                 nrj_bk=float(np.float32(e_bk)), pvv_bk=ppv_bk,
                 sens_bk=sens_bk, name=name, _idx=idx, _bucket=4096,
-                _secs=round(time.time() - t0, 1), _engine="cpu")
+                _secs=round(time.time() - t0, 1), _engine="cpu",
+                _beam=beam)
 
 
 def main(argv=None):
@@ -60,6 +62,9 @@ def main(argv=None):
     ap.add_argument("-n", "--nb_mode", type=int, default=100)
     ap.add_argument("-ms", "--max_stack", type=int, default=50)
     ap.add_argument("--max_branch", type=int, default=1000)
+    ap.add_argument("--save-beams", dest="save_beams",
+                    help="jsonl path: full saved beam per sequence "
+                         "(sweep --save-beams schema)")
     args = ap.parse_args(argv)
 
     recs = []
@@ -70,16 +75,25 @@ def main(argv=None):
                              args.max_stack, args.max_branch))
     print(f"[longtail] {len(recs)} sequences >= {args.min_len} nt",
           flush=True)
+    beam_fh = open(args.save_beams, "w") if args.save_beams else None
     with mp.Pool(min(len(recs), mp.cpu_count())) as pool, \
             open(args.out, "w") as out:
         for res in pool.imap_unordered(_fold_one, recs):
             secs = res.pop("_secs")
             res.pop("_engine")
+            beam = res.pop("_beam")
+            if beam_fh is not None:
+                beam_fh.write(json.dumps(dict(
+                    name=res["name"], seq=res["seq"], flagged=False,
+                    beam=beam)) + "\n")
+                beam_fh.flush()
             out.write(json.dumps(res) + "\n")
             out.flush()
             print(f"[longtail] {res['name']} ({res['len_seq']} nt) in "
                   f"{secs}s: nrj {res['nrj']:.1f} ppv {res['pvv']} "
                   f"sens {res['sens']}", flush=True)
+    if beam_fh is not None:
+        beam_fh.close()
 
 
 if __name__ == "__main__":
