@@ -52,6 +52,10 @@ class _Oracle:
         self.params = get_params(temperature)
         self.n = len(sequence)
         self._cache: dict[frozenset, float] = {}
+        # memoisation is a pure speed cache; bound it so long sequences
+        # cannot blow up the host (a 2.9-knt K=200 fold once reached
+        # ~60 GB of frozenset keys) — entries scale ~n, so budget ~n^-1
+        self._cache_cap = max(20_000, 50_000_000 // max(self.n, 1))
         self._native = None
         try:
             from rafft_tpu.native import native_oracle
@@ -74,6 +78,8 @@ class _Oracle:
             else:
                 e_int = eval_structure_int(self.seq, list(key), self.params)
             e = float(np.float32(e_int / 100.0))
+            if len(self._cache) >= self._cache_cap:
+                self._cache.clear()
             self._cache[key] = e
         return e
 
@@ -129,7 +135,8 @@ def fold(sequence, nb_mode=100, max_stack=1, max_branch=100, min_hp=3,
     seen: set[str] = set()
 
     while True:
-        trajectory.append(beam)
+        if traj:
+            trajectory.append(beam)
 
         per_struct = []
         for st in beam:
