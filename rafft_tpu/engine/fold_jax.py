@@ -562,8 +562,14 @@ class FoldEngine:
         self._step = jax.jit(self._step_impl)
         self._refill = jax.jit(self._refill_impl)
         self._steps = jax.jit(self._steps_impl, static_argnums=(1,))
-        self._advance = jax.jit(self._advance_impl, static_argnums=(1,))
-        self._drain_load = jax.jit(self._drain_load_impl)
+        # the streaming loop threads one state through advance/drain and
+        # never reuses the old value, so donate it: XLA updates the beam
+        # state in place instead of allocating + copying ~all of HBM's
+        # working set every dispatch
+        self._advance = jax.jit(self._advance_impl, static_argnums=(1,),
+                                donate_argnums=(0,))
+        self._drain_load = jax.jit(self._drain_load_impl,
+                                   donate_argnums=(0,))
 
     # ---------------- state
     def init_state(self, seqs: list[str], seqids=None):
