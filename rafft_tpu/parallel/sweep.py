@@ -86,7 +86,8 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
         from rafft_tpu.engine.fold_jax import FoldEngine, EngineConfig
         from rafft_tpu.parallel.mesh import shard_state
 
-    workers = workers or max(1, mp.cpu_count() - 1)
+    # the parent only dispatches while the pool folds, so use every core
+    workers = workers or max(1, mp.cpu_count())
 
     by_bucket: dict[int, list[int]] = {}
     for i, (seq, _t, _n) in enumerate(records):
