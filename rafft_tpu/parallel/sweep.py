@@ -183,7 +183,12 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
                 if progress:
                     progress(N, n_done, len(idxs))
         if pending:
-            with mp.Pool(min(len(pending), workers)) as pool:
+            # forkserver: in jax-engine mode the parent holds a live
+            # XLA/TPU client by now; forking such a process can wedge the
+            # children (inherited TPU fds/mutexes).  Workers only need
+            # the CPU parity engine, so a fresh interpreter is safe.
+            ctx = mp.get_context("forkserver")
+            with ctx.Pool(min(len(pending), workers)) as pool:
                 for i, rows in pool.imap_unordered(_cpu_refold, pending):
                     finish(i, rows, engine != "cpu")
                     n_done += 1
@@ -250,7 +255,7 @@ def main(argv=None):
     ap.add_argument("--devices", type=int, help="data-parallel device count")
     ap.add_argument("--checkpoint", help="bucket-resume journal path")
     ap.add_argument("--fallback-workers", dest="workers", type=int,
-                    help="CPU-parity refold pool size (default: cores-1)")
+                    help="CPU-parity refold pool size (default: all cores)")
     ap.add_argument("--engine", choices=("jax", "cpu"), default="jax",
                     help="'cpu' folds every bucket on the sequential "
                          "parity engine via the process pool (no TPU)")

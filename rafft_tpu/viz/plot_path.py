@@ -45,12 +45,9 @@ def plot_path(fast_paths, seq, out_file=None, width=9.0, height=5.0,
             y = (max_k - len(step)) / 2 + ki
             pos[(si, ki)] = (x, y)
 
-    # edges between consecutive steps
-    order = range(1, n_steps)
-    for si in order:
-        src = steps[si - 1] if not reverse else steps[si]
-        dst = steps[si] if not reverse else steps[si - 1]
-        a, b = (si - 1, si)
+    # edges between consecutive steps (steps is already direction-
+    # adjusted above, so the walk is uniform)
+    for si in range(1, n_steps):
         for ki, struct in enumerate(steps[si]):
             for pj in ancestors_in(steps[si - 1], struct):
                 x1, y1 = pos[(si - 1, pj)]
