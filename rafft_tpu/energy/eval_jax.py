@@ -159,17 +159,16 @@ def _kmer_keys(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     return key
 
 
-def _hairpin(dp, codes, n, i, j, key5, key6, key8):
-    size = j - i - 1
-    t = _ptype(dp, _sget(codes, i, n), _sget(codes, j, n))
-    e = flat_lookup(dp.hairpin, jnp.clip(size, 0, dp.hairpin.shape[0] - 1))
-    mism = _g(dp.mmh, t, _sget(codes, i + 1, n), _sget(codes, j - 1, n))
+def _hairpin_v(dp, t, si1, sj1, size, k5, k6, k8, use_chain):
+    """Hairpin energy from pre-gathered values.
 
-    k5 = flat_lookup(key5, i)
-    k6 = flat_lookup(key6, i)
-    k8 = flat_lookup(key8, i)
-    n_idx = int(np.prod(k5.shape)) if k5.shape else 1
-    if n_idx >= (1 << 14) and hasattr(dp, "tri_items"):
+    t = pair type of (i, j); si1/sj1 = codes[i+1]/codes[j-1];
+    k5/k6/k8 = k-mer keys at i.  use_chain selects the sparse select
+    chain for the special-loop tables (right for large index sets)."""
+    e = flat_lookup(dp.hairpin, jnp.clip(size, 0, dp.hairpin.shape[0] - 1))
+    mism = _g(dp.mmh, t, si1, sj1)
+
+    if use_chain and hasattr(dp, "tri_items"):
         # large index sets: ~2-30 real entries per table, so a select
         # chain beats gathering from the 5^k dense arrays by ~10x
         def chain(items, key):
@@ -196,19 +195,28 @@ def _hairpin(dp, codes, n, i, j, key5, key6, key8):
                                jnp.where(size == 6, hex_out, generic)))
 
 
-def _int_loop(dp, codes, n, i, j, q, r):
-    """Two-loop closed by (i,j) with inner pair (q,r)."""
-    n1 = q - i - 1
-    n2 = j - r - 1
-    t1 = _ptype(dp, _sget(codes, i, n), _sget(codes, j, n))
-    t2 = _ptype(dp, _sget(codes, r, n), _sget(codes, q, n))
+def _hairpin(dp, codes, n, i, j, key5, key6, key8):
+    size = j - i - 1
+    t = _ptype(dp, _sget(codes, i, n), _sget(codes, j, n))
+    k5 = flat_lookup(key5, i)
+    k6 = flat_lookup(key6, i)
+    k8 = flat_lookup(key8, i)
+    n_idx = int(np.prod(k5.shape)) if k5.shape else 1
+    from rafft_tpu.engine import lookup as _lk
+    use_chain = (n_idx >= (1 << 14)) or _lk._ASSUME_BATCHED
+    return _hairpin_v(dp, t, _sget(codes, i + 1, n), _sget(codes, j - 1, n),
+                      size, k5, k6, k8, use_chain)
+
+
+def _int_loop_v(dp, t1, t2, si1, sj1, sp1, sq1, n1, n2):
+    """Two-loop energy from pre-gathered values.
+
+    t1 = type of closing pair (i, j); t2 = type of inner pair seen from
+    inside, i.e. _ptype(codes[r], codes[q]); si1/sj1 = codes[i+1] /
+    codes[j-1]; sp1/sq1 = codes[q-1]/codes[r+1]; n1/n2 = unpaired runs
+    q-i-1 / j-r-1."""
     nl = jnp.maximum(n1, n2)
     ns = jnp.minimum(n1, n2)
-
-    si1 = _sget(codes, i + 1, n)
-    sj1 = _sget(codes, j - 1, n)
-    sp1 = _sget(codes, q - 1, n)
-    sq1 = _sget(codes, r + 1, n)
 
     stack_e = _g(dp.stack, t1, t2)
 
@@ -264,21 +272,34 @@ def _int_loop(dp, codes, n, i, j, q, r):
     return jnp.where(nl == 0, stack_e, jnp.where(ns == 0, bulge_e, inner))
 
 
+def _int_loop(dp, codes, n, i, j, q, r):
+    """Two-loop closed by (i,j) with inner pair (q,r)."""
+    t1 = _ptype(dp, _sget(codes, i, n), _sget(codes, j, n))
+    t2 = _ptype(dp, _sget(codes, r, n), _sget(codes, q, n))
+    return _int_loop_v(dp, t1, t2,
+                       _sget(codes, i + 1, n), _sget(codes, j - 1, n),
+                       _sget(codes, q - 1, n), _sget(codes, r + 1, n),
+                       q - i - 1, j - r - 1)
+
+
 def _ml_stem(dp, t, s5, s3):
     return (_g(dp.mmm, t, s5, s3) + jnp.where(t > 2, dp.terminal_au, 0)
             + dp.ml_intern)
 
 
-def _ext_stem(dp, codes, n, i, j):
-    t = _ptype(dp, _sget(codes, i, n), _sget(codes, j, n))
-    s5 = _sget(codes, i - 1, n)
-    s3 = _sget(codes, j + 1, n)
-    has5 = i > 0
-    has3 = j < n - 1
+def _ext_stem_v(dp, t, s5, s3, has5, has3):
+    """Exterior stem term from pre-gathered values (t = type of (i,j),
+    s5/s3 = codes[i-1]/codes[j+1], has5/has3 = neighbour-exists masks)."""
     e = jnp.where(
         has5 & has3, _g(dp.mmext, t, s5, s3),
         jnp.where(has5, _g(dp.d5, t, s5), jnp.where(has3, _g(dp.d3, t, s3), 0)))
     return e + jnp.where(t > 2, dp.terminal_au, 0)
+
+
+def _ext_stem(dp, codes, n, i, j):
+    t = _ptype(dp, _sget(codes, i, n), _sget(codes, j, n))
+    return _ext_stem_v(dp, t, _sget(codes, i - 1, n), _sget(codes, j + 1, n),
+                       i > 0, j < n - 1)
 
 
 def eval_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,

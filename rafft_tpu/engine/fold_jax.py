@@ -49,7 +49,7 @@ from rafft_tpu.energy.params import get_params, encode_sequence
 from rafft_tpu.energy import eval_jax as EJ
 from rafft_tpu.energy.eval_jax import (device_params, analyze_pt, eval_pt,
                                        _ptype, _g, _sget_vec, _ml_stem,
-                                       _ext_stem, _int_loop, _hairpin,
+                                       _ext_stem_v, _int_loop_v, _hairpin_v,
                                        _kmer_keys)
 from rafft_tpu.scan.encode import CHANNEL_CODES, weight_matrix
 from rafft_tpu.engine.lookup import (flat_lookup, batched_taa,
@@ -60,6 +60,28 @@ NEG = jnp.float32(-3.0e38)
 # filled with _candidate_delta intermediates when set to a dict (debug
 # tooling only; populated in eager mode, no effect under jit)
 DEBUG_CAPTURE = None
+
+# profiling-only stage cut (tools/profile_step.py): when set to a stage
+# name, _seq_step returns right after that stage with the stage's
+# outputs folded into a live scalar, so XLA dead-code-eliminates all
+# later stages — cumulative timings per cut give the per-stage profile.
+# No effect when None (the production value).
+_PROFILE_CUT = None
+
+_STAGES = ("analyze", "regions", "corr", "wscan", "cdelta", "cplx",
+           "accept", "enum", "dedup", "full")
+
+
+def _live_mix(vals, done):
+    """Fold arbitrary stage outputs into one un-DCE-able int32 scalar."""
+    mix = jnp.int32(0)
+    for v in vals:
+        x = v.astype(jnp.float32) if v.dtype == bool else v
+        s = x.sum().astype(jnp.float32)
+        # data-dependent select: XLA cannot fold it away
+        mix = mix + jnp.where(s == jnp.float32(-3.25e37),
+                              jnp.int32(1), jnp.int32(0))
+    return jnp.where(done.any() & (mix > 0), mix, jnp.int32(0))
 
 
 @dataclass(frozen=True)
@@ -363,133 +385,242 @@ def _candidate_delta(cfg, dp, codes, n, keys, pt, loops, rorder,
                      rpos, mlen, ws, lags, C=48):
     """Exact incremental integer dE for every candidate [K,R,M].
 
-    Handles the dominant case exactly: the stem's innermost pair may
-    enclose old stems (hairpin / two-loop / multiloop by child count),
-    and the enclosing loop transitions by gaining the stem and losing
-    swallowed children — all resolved with interval queries over
-    per-loop child prefix sums.
+    TPU formulation: the (r, m) candidate lanes are first COMPACTED to
+    [K, CC] slots, CC = min(2N, R*M).  Per region only
+    v_r = min(M, 2*mlen_r - 1) lags are real, and top_lags sorts the
+    NEG-filled invalid lags last so they form a prefix in m; regions
+    partition the <= N unpaired positions, so sum_r v_r < 2N always —
+    the compaction loses nothing.  Every per-candidate table gather
+    then runs at CC lanes instead of R*M (6.25x fewer at the bench
+    config) as stacked-table one-hot einsums (computed-index gathers
+    are pathologically slow on TPU, engine/lookup.py); gathers sharing
+    an index array share one one-hot.  Results scatter back to [K,R,M];
+    lanes outside the compaction are exactly the lag_ok=False lanes the
+    caller's masking already ignores.
 
-    Candidates whose stem jumps an excised gap (~1% in practice — each
-    jump creates a zero-unpaired multiloop mid-stem) or whose region has
-    > C children are flagged unsupported and resolved by full evaluation
-    under the CPLX budget.  Gap detection is O(1) per candidate via
-    prefix sums of the region's position discontinuities (no [K,R,M,H]
-    intermediate)."""
+    Semantics (unchanged): the stem's innermost pair may enclose old
+    stems (hairpin / two-loop / multiloop by child count), and the
+    enclosing loop transitions by gaining the stem and losing swallowed
+    children — all resolved with interval queries over per-loop child
+    prefix sums.  Candidates whose stem jumps an excised gap (~1% in
+    practice — each jump creates a zero-unpaired multiloop mid-stem) or
+    whose region has > C children are flagged unsupported and resolved
+    by full evaluation under the CPLX budget; gap detection is O(1) per
+    candidate via prefix sums of the region's position discontinuities."""
     K, R, M, N = cfg.K, cfg.R, cfg.M, cfg.N
+    CC = min(2 * N, R * M)
     key5, key6, key8 = keys
+    f32 = jnp.float32
+    i32 = jnp.int32
+    HI = jax.lax.Precision.HIGHEST
+    nn = jnp.arange(N, dtype=i32)
+    ccv = jnp.arange(CC, dtype=i32)
 
-    run = ws["max_nb"]
+    # ---------- compaction maps ----------
+    vr = jnp.where(mlen >= 2, jnp.minimum(M, 2 * mlen - 1), 0)   # [K,R]
+    ends = jnp.cumsum(vr, axis=-1)                               # [K,R]
+    starts = ends - vr
+    r_of = (ends[:, :, None] <= ccv[None, None, :]).sum(1).astype(i32)
+    r_ofc = jnp.clip(r_of, 0, R - 1)
+    oh_r = (r_ofc[..., None] == jnp.arange(R, dtype=i32)).astype(f32)
+    start_c = jnp.einsum('kcr,kr->kc', oh_r, starts.astype(f32),
+                         precision=HI).astype(i32)
+    m_ofc = jnp.clip(ccv[None, :] - start_c, 0, M - 1)
+    oh_m = (m_ofc[..., None] == jnp.arange(M, dtype=i32)).astype(f32)
+
+    # ---------- compact per-candidate scan results ----------
+    Fsm = jnp.stack([ws["max_nb"], ws["max_i"], ws["max_j"],
+                     ws["best_sE"]], axis=-1).astype(f32)        # [K,R,M,4]
+    s1 = jnp.einsum('kcm,krmt->kcrt', oh_m, Fsm, precision=HI)
+    s2 = jnp.einsum('kcr,kcrt->kct', oh_r, s1, precision=HI)
+    run = s2[..., 0].astype(i32)
+    i_s = s2[..., 1].astype(i32)
+    j_s = s2[..., 2].astype(i32)
+    bsE = s2[..., 3].astype(i32)
     has = run > 0
 
-    def gpos(arr, idx):
-        return batched_taa(arr, jnp.clip(idx, 0, N - 1))
+    # ---------- per-candidate region tables ----------
+    jump5 = jnp.concatenate(
+        [jnp.zeros((K, R, 1), i32),
+         ((rpos[..., 1:] - rpos[..., :-1]) > 1).astype(i32)], axis=-1)
+    cumJ = jnp.cumsum(jump5, axis=-1)                            # [K,R,N]
+    RT = jnp.stack([rpos, cumJ], axis=-1).astype(f32)            # [K,R,N,2]
+    rt_c = jnp.einsum('kcr,krnt->kcnt', oh_r, RT, precision=HI)  # [K,CC,N,2]
 
-    i_s = ws["max_i"]
-    j_s = ws["max_j"]
-    p0 = gpos(rpos, i_s)                    # innermost 5'
-    q0 = gpos(rpos, j_s)                    # innermost 3'
-    a = gpos(rpos, i_s - run + 1)           # outermost 5'
-    b2 = gpos(rpos, j_s + run - 1)          # outermost 3'
+    def posg(idx):
+        """(rpos, cumJ) at clip(idx) — one one-hot, two tables."""
+        oh = (jnp.clip(idx, 0, N - 1)[..., None] == nn).astype(f32)
+        out = jnp.einsum('kcn,kcnt->kct', oh, rt_c, precision=HI)
+        return out[..., 0].astype(i32), out[..., 1].astype(i32)
 
-    def cvec(idx):
-        ok = (idx >= 0) & (idx < n)
-        return jnp.where(ok, flat_lookup(codes, jnp.clip(idx, 0, N - 1)), 0)
+    p0, cj_p = posg(i_s)                    # innermost 5'
+    q0, cj_q = posg(j_s)                    # innermost 3'
+    a, cj_a = posg(i_s - run + 1)           # outermost 5'
+    b2, cj_b = posg(j_s + run - 1)          # outermost 3'
 
-    def mlstem_at(x, y):
-        t = _ptype(dp, cvec(x), cvec(y))
-        return _ml_stem(dp, t, cvec(x - 1), cvec(y + 1))
+    # gap-jump detection: consecutive stem pairs jump a gap iff region
+    # positions are discontinuous inside the run's contiguous local
+    # ranges — prefix-sum differences of the discontinuity markers
+    ngaps = jnp.where(run > 0, (cj_p - cj_a) + (cj_b - cj_q), 0)
 
-    def mlclose_at(x, y):
-        # closing pair (x,y) seen from inside: reversed type, neighbours
-        t = _ptype(dp, cvec(y), cvec(x))
-        return _ml_stem(dp, t, cvec(y - 1), cvec(x + 1))
-
+    # ---------- children of each region's enclosing loop ----------
     chs, pml, pspan, pext, nch = _children(cfg, pt, loops, rorder, C)
+    Ceff = chs.shape[-1]           # = min(C, N): _children slices to N
+    CP1 = Ceff + 1
+    CH = jnp.stack([
+        jnp.concatenate([chs, jnp.full((K, R, 1), N, i32)], axis=-1),
+        pml, pext], axis=-1).astype(f32)                         # [K,R,Ceff+1,3]
+    ch_c = jnp.einsum('kcr,krxt->kcxt', oh_r, CH, precision=HI)  # [K,CC,Ceff+1,3]
+    chs_c = ch_c[..., :Ceff, 0].astype(i32)
+    pml_c = ch_c[..., 1]
+    pext_c = ch_c[..., 2]
+    sm = jnp.stack([nch.astype(f32), rorder.astype(f32)], axis=-1)
+    sm_c = jnp.einsum('kcr,krt->kct', oh_r, sm, precision=HI)
+    nch_c = sm_c[..., 0].astype(i32)
+    lab = sm_c[..., 1].astype(i32)
 
-    # rank queries into the sorted child-start lists: a compare-count
-    # reduction over the C=48 slots (elementwise + reduce beats a
-    # binary-search while_loop on the VPU by a wide margin)
-    def ssr(q):  # first child index with start > q     [K,R,M]
-        return (chs[:, :, None, :] <= q[..., None]).sum(-1).astype(jnp.int32)
+    def ssr(q):  # first child index with start > q     [K,CC]
+        return (chs_c <= q[..., None]).sum(-1).astype(i32)
 
     def ssl(q):  # first child index with start >= q
-        return (chs[:, :, None, :] < q[..., None]).sum(-1).astype(jnp.int32)
+        return (chs_c < q[..., None]).sum(-1).astype(i32)
+
+    xx = jnp.arange(CP1, dtype=i32)
+
+    def ptake(pref, idx):
+        oh = (jnp.clip(idx, 0, CP1 - 1)[..., None] == xx).astype(f32)
+        return jnp.einsum('kcx,kcx->kc', oh, pref, precision=HI)
 
     def prange(pref, lo, hi):
-        return batched_taa(pref, hi) - batched_taa(pref, lo)
+        return (ptake(pref, hi) - ptake(pref, lo)).astype(i32)
 
-    # ---- inner loop closed by (p0, q0)
     lo_in = ssr(p0)
     hi_in = ssl(q0)
     cin = hi_in - lo_in
-    fc_in = batched_taa(chs, jnp.clip(lo_in, 0, C - 1))
-    fc_in_e = batched_taa(
-        jnp.broadcast_to(pt[:, None, :], (K, R, N)),
-        jnp.clip(fc_in, 0, N - 1))
+    oh_fc = (jnp.clip(lo_in, 0, Ceff - 1)[..., None]
+             == jnp.arange(Ceff, dtype=i32)).astype(f32)
+    fc_in = jnp.einsum('kcx,kcx->kc', oh_fc, chs_c.astype(f32),
+                       precision=HI).astype(i32)
 
-    hpE = _hairpin(dp, codes, n, jnp.clip(p0, 0, N - 1),
-                   jnp.clip(q0, 0, N - 1), key5, key6, key8)
-    ilE = _int_loop(dp, codes, n, jnp.clip(p0, 0, N - 1),
-                    jnp.clip(q0, 0, N - 1), jnp.clip(fc_in, 0, N - 1),
-                    jnp.clip(fc_in_e, 0, N - 1))
-    mlE_in = (dp.ml_closing + mlclose_at(p0, q0)
-              + prange(pml, lo_in, hi_in))
+    # ---------- fused value gathers ----------
+    codes_m1 = jnp.concatenate([jnp.zeros(1, i32), codes[:-1]])
+    codes_p1 = jnp.concatenate([codes[1:], jnp.zeros(1, i32)])
+    CT = jnp.stack([codes, codes_m1, codes_p1], axis=-1).astype(f32)
+    KT = jnp.stack([key5, key6, key8], axis=-1).astype(f32)
+
+    def cg(idx, with_keys=False):
+        """codes[i-1..i+1] (+ k-mer keys) at i = clip(idx) — one
+        one-hot per index array.  Returns the raw gathered values; the
+        call-site applies its own bounds convention via masks."""
+        oh = (jnp.clip(idx, 0, N - 1)[..., None] == nn).astype(f32)
+        cv = jnp.einsum('kcn,nt->kct', oh, CT, precision=HI).astype(i32)
+        kv = (jnp.einsum('kcn,nt->kct', oh, KT, precision=HI).astype(i32)
+              if with_keys else None)
+        return oh, cv, kv
+
+    def m_raw(vals, idx, off):
+        # cvec convention: bounds on the RAW logical index idx+off
+        j = idx + off
+        return jnp.where((j >= 0) & (j < n), vals, 0)
+
+    def m_clip(vals, idx, off):
+        # _sget-after-clip convention: bounds on clip(idx)+off
+        j = jnp.clip(idx, 0, N - 1) + off
+        return jnp.where((j >= 0) & (j < n), vals, 0)
+
+    oh_p0, cv_p0, kv_p0 = cg(p0, with_keys=True)
+    _, cv_q0, _ = cg(q0)
+    _, cv_a, _ = cg(a)
+    _, cv_b2, _ = cg(b2)
+
+    # ---------- inner loop closed by (p0, q0) ----------
+    t_pq = _ptype(dp, m_clip(cv_p0[..., 0], p0, 0),
+                  m_clip(cv_q0[..., 0], q0, 0))
+    hpE = _hairpin_v(dp, t_pq,
+                     m_clip(cv_p0[..., 2], p0, 1),
+                     m_clip(cv_q0[..., 1], q0, -1),
+                     jnp.clip(q0, 0, N - 1) - jnp.clip(p0, 0, N - 1) - 1,
+                     kv_p0[..., 0], kv_p0[..., 1], kv_p0[..., 2],
+                     use_chain=True)
+
+    ptf = pt.astype(f32)
+    _, cv_fc, _ = cg(fc_in)
+    oh_fcN = (jnp.clip(fc_in, 0, N - 1)[..., None] == nn).astype(f32)
+    fc_in_e = jnp.einsum('kcn,kn->kc', oh_fcN, ptf,
+                         precision=HI).astype(i32)
+    _, cv_fe, _ = cg(fc_in_e)
+    t2_in = _ptype(dp, m_clip(cv_fe[..., 0], fc_in_e, 0),
+                   m_clip(cv_fc[..., 0], fc_in, 0))
+    ilE = _int_loop_v(dp, t_pq, t2_in,
+                      m_clip(cv_p0[..., 2], p0, 1),
+                      m_clip(cv_q0[..., 1], q0, -1),
+                      m_clip(cv_fc[..., 1], fc_in, -1),
+                      m_clip(cv_fe[..., 2], fc_in_e, 1),
+                      jnp.clip(fc_in, 0, N - 1) - jnp.clip(p0, 0, N - 1) - 1,
+                      jnp.clip(q0, 0, N - 1) - jnp.clip(fc_in_e, 0, N - 1) - 1)
+
+    def mlstem_v(cv_x, x, cv_y, y):
+        # stem (x, y) seen from its enclosing loop (raw-index bounds)
+        t = _ptype(dp, m_raw(cv_x[..., 0], x, 0), m_raw(cv_y[..., 0], y, 0))
+        return _ml_stem(dp, t, m_raw(cv_x[..., 1], x, -1),
+                        m_raw(cv_y[..., 2], y, 1))
+
+    def mlclose_v(cv_x, x, cv_y, y):
+        # closing pair (x, y) seen from inside: reversed type
+        t = _ptype(dp, m_raw(cv_y[..., 0], y, 0), m_raw(cv_x[..., 0], x, 0))
+        return _ml_stem(dp, t, m_raw(cv_y[..., 1], y, -1),
+                        m_raw(cv_x[..., 2], x, 1))
+
+    mlE_in = (dp.ml_closing + mlclose_v(cv_p0, p0, cv_q0, q0)
+              + prange(pml_c, lo_in, hi_in))
     innerE = jnp.where(cin == 0, hpE, jnp.where(cin == 1, ilE, mlE_in))
 
-    # ---- gap-jump detection (O(1) per candidate via prefix sums)
-    # A stem pair at scan step i pairs region-local indices (ip, lag-ip);
-    # consecutive stem pairs jump a gap iff the region positions are
-    # discontinuous at ip (5' side) or at jp+1 = lag-ip+1 (3' side).
-    # Over the whole run those local indices are the contiguous ranges
-    # (a_loc, i_s] and (j_s, b_loc], so a cumulative sum of the region's
-    # discontinuity markers answers "any gap in this stem?" with four
-    # gathers.  Gapped candidates go to the full-eval budget.
-    jump5 = jnp.concatenate(
-        [jnp.zeros((K, R, 1), jnp.int32),
-         ((rpos[..., 1:] - rpos[..., :-1]) > 1).astype(jnp.int32)], axis=-1)
-    cumJ = jnp.cumsum(jump5, axis=-1)                          # [K,R,N]
-
-    def gcum(idx):
-        return batched_taa(cumJ, jnp.clip(idx, 0, N - 1))
-
-    n5 = gcum(i_s) - gcum(i_s - run + 1)
-    n3 = gcum(j_s + run - 1) - gcum(j_s)
-    ngaps = jnp.where(run > 0, n5 + n3, 0)
-
-    # ---- enclosing loop transition
-    lab = jnp.broadcast_to(rorder[:, :, None], (K, R, M))
+    # ---------- enclosing loop transition ----------
     labc = jnp.clip(lab, 0, N - 1)
     is_ext = lab == -1
-
-    def perk(field):
-        return batched_taa(
-            jnp.broadcast_to(field[:, None, :], (K, R, N)), labc)
-
-    bL = perk(loops["branches"])
-    eL = perk(loops["loop_e"])
-    ptb = jnp.broadcast_to(pt[:, None, :], (K, R, N))
-    j_lab = batched_taa(ptb, labc)
+    LT = jnp.stack([loops["branches"].astype(f32), loops["loop_e"].astype(f32),
+                    ptf], axis=-1)                               # [K,N,3]
+    oh_lab = (labc[..., None] == nn).astype(f32)
+    lt_c = jnp.einsum('kcn,knt->kct', oh_lab, LT, precision=HI)
+    bL = lt_c[..., 0].astype(i32)
+    eL = lt_c[..., 1].astype(i32)
+    j_lab = lt_c[..., 2].astype(i32)
+    _, cv_lab, _ = cg(lab)
+    _, cv_jl, _ = cg(j_lab)
 
     lo_sw = ssr(a - 1)     # children with start >= a
     hi_sw = ssl(b2 + 1)    # children with start <= b2
     sw = hi_sw - lo_sw
-    mlsub = prange(pml, lo_sw, hi_sw)
+    mlsub = prange(pml_c, lo_sw, hi_sw)
     bLn = bL - sw + 1
 
-    il_new = _int_loop(dp, codes, n, labc, jnp.clip(j_lab, 0, N - 1),
-                       jnp.clip(a, 0, N - 1), jnp.clip(b2, 0, N - 1))
-    ml_total = batched_taa(
-        pml, jnp.broadcast_to(nch[..., None], (K, R, M)))
-    mlE_L = (dp.ml_closing + mlclose_at(lab, j_lab)
-             + ml_total - mlsub + mlstem_at(a, b2))
-    ext_new = _ext_stem(dp, codes, n, jnp.clip(a, 0, N - 1),
-                        jnp.clip(b2, 0, N - 1))
-    ext_sub = prange(pext, lo_sw, hi_sw)
+    t1_L = _ptype(dp, m_clip(cv_lab[..., 0], lab, 0),
+                  m_clip(cv_jl[..., 0], j_lab, 0))
+    t2_L = _ptype(dp, m_clip(cv_b2[..., 0], b2, 0),
+                  m_clip(cv_a[..., 0], a, 0))
+    il_new = _int_loop_v(dp, t1_L, t2_L,
+                         m_clip(cv_lab[..., 2], lab, 1),
+                         m_clip(cv_jl[..., 1], j_lab, -1),
+                         m_clip(cv_a[..., 1], a, -1),
+                         m_clip(cv_b2[..., 2], b2, 1),
+                         jnp.clip(a, 0, N - 1) - labc - 1,
+                         jnp.clip(j_lab, 0, N - 1) - jnp.clip(b2, 0, N - 1) - 1)
+    ml_total = ptake(pml_c, nch_c).astype(i32)
+    mlE_L = (dp.ml_closing + mlclose_v(cv_lab, lab, cv_jl, j_lab)
+             + ml_total - mlsub + mlstem_v(cv_a, a, cv_b2, b2))
+    t_ext = _ptype(dp, m_clip(cv_a[..., 0], a, 0),
+                   m_clip(cv_b2[..., 0], b2, 0))
+    ext_new = _ext_stem_v(dp, t_ext,
+                          m_clip(cv_a[..., 1], a, -1),
+                          m_clip(cv_b2[..., 2], b2, 1),
+                          jnp.clip(a, 0, N - 1) > 0,
+                          jnp.clip(b2, 0, N - 1) < n - 1)
+    ext_sub = prange(pext_c, lo_sw, hi_sw)
 
     dL = jnp.where(is_ext, ext_new - ext_sub,
                    jnp.where(bLn == 1, il_new - eL, mlE_L - eL))
 
-    delta = ws["best_sE"] + innerE + dL
+    delta = bsE + innerE + dL
 
     if DEBUG_CAPTURE is not None:
         DEBUG_CAPTURE.update(innerE=innerE, dL=dL, cin=cin, hpE=hpE,
@@ -498,11 +629,29 @@ def _candidate_delta(cfg, dp, codes, n, keys, pt, loops, rorder,
                              ext_new=ext_new, ext_sub=ext_sub, mlE_L=mlE_L,
                              a=a, b2=b2, p0=p0, q0=q0, ngaps=ngaps,
                              lo_sw=lo_sw, hi_sw=hi_sw, fc_in=fc_in,
-                             fc_in_e=fc_in_e, lo_in=lo_in, hi_in=hi_in)
+                             fc_in_e=fc_in_e, lo_in=lo_in, hi_in=hi_in,
+                             r_of=r_of, m_of=m_ofc, starts=starts, vr=vr)
 
-    unsupported = has & ((ngaps > 0) | (nch[..., None] > C))
+    unsupported = has & ((ngaps > 0) | (nch_c > C))
     delta = jnp.where(has & ~unsupported, delta, 0)
-    return delta, unsupported, has, p0, q0, a, b2
+
+    # ---------- scatter back to [K,R,M] ----------
+    mm = jnp.arange(M, dtype=i32)
+    c_rm = jnp.where(mm[None, None, :] < vr[..., None],
+                     starts[..., None] + mm[None, None, :], CC)  # [K,R,M]
+    oh_b = (c_rm[..., None] == ccv).astype(f32)                  # [K,R,M,CC]
+    X = jnp.stack([delta.astype(f32), unsupported.astype(f32),
+                   p0.astype(f32), q0.astype(f32), a.astype(f32),
+                   b2.astype(f32)], axis=-1)                     # [K,CC,6]
+    Y = jnp.einsum('krmc,kct->krmt', oh_b, X, precision=HI)
+    delta_rm = Y[..., 0].astype(i32)
+    cplx_rm = Y[..., 1] > 0.5
+    p0_rm = Y[..., 2].astype(i32)
+    q0_rm = Y[..., 3].astype(i32)
+    a_rm = Y[..., 4].astype(i32)
+    b2_rm = Y[..., 5].astype(i32)
+    has_rm = ws["max_nb"] > 0
+    return delta_rm, cplx_rm, has_rm, p0_rm, q0_rm, a_rm, b2_rm
 
 
 def _combo_pt(cfg, pt_parent, rloc, rslot, rpos, chosen_i, chosen_j,
@@ -675,6 +824,15 @@ class FoldEngine:
         cfg, dp = self.cfg, self.dp
         K, R, M, N, V = cfg.K, cfg.R, cfg.M, cfg.N, cfg.V
 
+        def _cut_(stage, *vals):
+            # profiling-only early return (None in production; see
+            # _PROFILE_CUT above)
+            if _PROFILE_CUT != stage:
+                return None
+            return (pt, energy + _live_mix(vals, done), active, rorder,
+                    seen_h1, seen_h2, seen_cnt, done, cplx_dropped,
+                    enum_suspect)
+
         keys = (_kmer_keys(codes, 5), _kmer_keys(codes, 6), _kmer_keys(codes, 8))
 
         # ---- analyze beam
@@ -682,10 +840,17 @@ class FoldEngine:
         with assume_batched():
             loops = jax.vmap(lambda p: analyze_pt(dp, codes, p, n))(pt)
         enclose = loops["enclose"]
+        c = _cut_("analyze", enclose, loops["mls"], loops["loop_e"],
+                  loops["branches"], loops["exts"])
+        if c is not None:
+            return c
 
         rpos, rloc, rslot, mlen = _regions(cfg, pt, enclose, rorder, n)
         rcodes = jnp.where(rpos < N,
                            flat_lookup(codes, jnp.clip(rpos, 0, N - 1)), 0)
+        c = _cut_("regions", rpos, rloc, rslot, mlen, rcodes)
+        if c is not None:
+            return c
 
         if self.use_wavefront:
             # fused Pallas wavefront: correlation + window slide in one
@@ -702,6 +867,9 @@ class FoldEngine:
             lags, lvals = _top_lags(cfg, cor)
             lag_ok = (lvals > NEG / 2) & (mlen[:, :, None] >= 2) \
                 & active[:, None, None]
+            c = _cut_("corr", lags, lvals, lag_ok)
+            if c is not None:
+                return c
             tab4 = jnp.stack([tabs["max_nb"], tabs["max_i"],
                               tabs["max_j"], tabs["best_sE"]], axis=-1)
             oh = (lags[..., None] == jnp.arange(2 * N, dtype=jnp.int32)
@@ -717,10 +885,25 @@ class FoldEngine:
             lags, lvals = _top_lags(cfg, cor)
             lag_ok = (lvals > NEG / 2) & (mlen[:, :, None] >= 2) \
                 & active[:, None, None]
+            c = _cut_("corr", lags, lvals, lag_ok)
+            if c is not None:
+                return c
             ws = _window_scan(cfg, dp, self.W, rcodes, rpos, mlen, lags,
                               lag_ok)
-        delta, cplx, has, p0, q0, a, b2 = _candidate_delta(
-            cfg, dp, codes, n, keys, pt, loops, rorder, rpos, mlen, ws, lags)
+        c = _cut_("wscan", ws["max_nb"], ws["max_i"], ws["max_j"],
+                  ws["best_sE"])
+        if c is not None:
+            return c
+        # assume_batched: the compacted [K,CC] shapes are below the
+        # one-hot threshold at trace time, but the real index volume
+        # (x batch) is far above it — force the fast formulation
+        with assume_batched():
+            delta, cplx, has, p0, q0, a, b2 = _candidate_delta(
+                cfg, dp, codes, n, keys, pt, loops, rorder, rpos, mlen,
+                ws, lags)
+        c = _cut_("cdelta", delta, cplx, has, p0, q0, a, b2)
+        if c is not None:
+            return c
 
         # ---- complex candidates: full eval under budget
         flat_cplx = (cplx & lag_ok).reshape(-1)
@@ -750,6 +933,9 @@ class FoldEngine:
         delta = delta_flat.reshape(K, R, M)
         resolved = jnp.zeros((K * R * M,), bool).at[c_idx].set(c_on).reshape(K, R, M)
         dropped = (cplx & lag_ok & ~resolved).sum()
+        c = _cut_("cplx", delta, resolved, dropped)
+        if c is not None:
+            return c
 
         # ---- acceptance (reference float32 semantics)
         e32 = jnp.float32(energy)[:, None, None]
@@ -762,6 +948,9 @@ class FoldEngine:
         sort_key = jnp.where(accept, dnrj, jnp.float32(3e38))
         ordm = jnp.argsort(sort_key, axis=-1, stable=True)
         s_r = accept.sum(axis=-1).astype(jnp.int32)            # [K,R]
+        c = _cut_("accept", ordm, s_r, accept)
+        if c is not None:
+            return c
 
         # ---- combination enumeration (overflow-safe clamped products)
         part = (s_r > 0)
@@ -852,6 +1041,9 @@ class FoldEngine:
         # sweep's CPU-parity fallback fires (region semantics of the
         # reference's node_list, rafft/utils.py:141-152)
         r_over = (lab2 > -2).sum(axis=-1) > R                  # [V]
+        c = _cut_("enum", new_pt, new_E, new_rorder, r_over)
+        if c is not None:
+            return c
 
         # ---- dedup + the reference's nb_branch cap semantics
         # (rafft.py:195-203: the counter counts NEW structures globally,
@@ -892,6 +1084,9 @@ class FoldEngine:
             capped, (v <= cap_v) | ((kv > kcap) & (local == 0)), True)
         newmask = first_occurrence(processed) & ~in_seen
         rank = jnp.cumsum(newmask.astype(jnp.int32)) - 1
+        c = _cut_("dedup", newmask, rank, processed)
+        if c is not None:
+            return c
 
         # would the reference have enumerated combos we never built?
         suspect = jnp.where(
