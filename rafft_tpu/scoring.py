@@ -64,9 +64,15 @@ def best_of(pred_dbs, true_db):
     which matches 57.5% of frozen picks overall (vs 53.2% for
     forward-last / 44.7% for lowest-energy-of-max) and lands per-bin mean
     sensitivity within 2 points everywhere (<=80nt: 91.2 vs artifact
-    93.2; see benchmarks/artifacts/parity_report.md).  Residual
-    disagreement is historical beam-content noise (different
-    ViennaRNA/tie ordering in the authors' run).
+    93.2; see benchmarks/artifacts/parity_report.md).  An exhaustive
+    grid over the reconstruction space — iteration order x stride-2
+    subset x >=-tie direction x {rounded, unrounded} PPV x pair-count
+    direction, 48 rules (benchmarks/bk_grid.py, results committed in
+    benchmarks/artifacts/bk_grid_100n50.md) — confirms this rule is the
+    argmin of joint per-bin |dsens|+|dppv| and that NO rule in the space
+    exceeds 91.23 <=80-nt sensitivity on our beams: the residual ~2-pt
+    gap is historical beam-content noise (different ViennaRNA/tie
+    ordering in the authors' run), not a recoverable selection artifact.
 
     Structures with zero predicted pairs are skipped: the RNAstructure
     scorer reports PPV=nan for an empty prediction and ``nan >= max`` is
