@@ -57,9 +57,24 @@ from rafft_tpu.engine.lookup import (flat_lookup, batched_taa,
 
 NEG = jnp.float32(-3.0e38)
 
+# exactness-flag bits (out_flag / enum_suspect): which budget tripped.
+# Any nonzero flag routes the sequence to the CPU-parity refold pool;
+# the sweep emits a per-cause histogram (tools/fallback_hist.py)
+FLAG_VWINDOW = 1    # combination V-window truncated reference combos
+FLAG_RSLOTS = 2     # live regions exceeded the R slots
+FLAG_SEEN = 4       # seen-set capacity S overflowed (dedup voided)
+FLAG_HASH = 8       # _CHECK_HASH mismatch (debug builds only)
+FLAG_CPLX = 16      # complex-candidate full-eval budget overflowed
+FLAG_STEPLIM = 32   # fold hit the step safety limit unfinished
+
 # filled with _candidate_delta intermediates when set to a dict (debug
 # tooling only; populated in eager mode, no effect under jit)
 DEBUG_CAPTURE = None
+
+# test-only invariant check: rebuild combination pair tables in full and
+# verify the composed incremental hashes match _hash() of the real table
+# (mismatches are counted into enum_suspect, which tests assert == 0)
+_CHECK_HASH = False
 
 # profiling-only stage cut (tools/profile_step.py): when set to a stage
 # name, _seq_step returns right after that stage with the stage's
@@ -68,8 +83,9 @@ DEBUG_CAPTURE = None
 # No effect when None (the production value).
 _PROFILE_CUT = None
 
-_STAGES = ("analyze", "regions", "corr", "wscan", "cdelta", "cplx",
-           "accept", "enum", "dedup", "full")
+_STAGES = ("analyze", "regions", "corr", "wscan", "cdelta", "cplx_sel",
+           "cplx_pt", "cplx", "accept", "enum_alloc", "enum_pick", "enum",
+           "dedup", "pool", "full")
 
 
 def _live_mix(vals, done):
@@ -181,7 +197,8 @@ def _top_lags(cfg, cor):
     return lags.astype(jnp.int32), vals
 
 
-def _window_scan(cfg, dp, W, rcodes, rpos, mlen, lags, lag_ok):
+def _window_scan(cfg, dp, W, rcodes, rpos, mlen, lags, lag_ok,
+                 z1row=None, z2row=None):
     """Vectorised window-slide over all (k, r, m) lanes at once.
 
     TPU strategy: every lane's window is the anti-diagonal ip + jp = lag
@@ -249,6 +266,40 @@ def _window_scan(cfg, dp, W, rcodes, rpos, mlen, lags, lag_ok):
     p5m = shift1(p5, -9)                       # rpos[ip-1]
     p3p = shift1(p3, -9)                       # rpos[jp+1]
 
+    # hash-coefficient channels Z[rpos] (32-bit): extracted separately
+    # in exact 16-bit halves (the main extraction may run bf16)
+    if z1row is None:
+        z1row = jnp.zeros(rpos.shape, jnp.int32)
+    if z2row is None:
+        z2row = jnp.zeros(rpos.shape, jnp.int32)
+    lo = lambda x: (x.astype(jnp.uint32) & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    hi = lambda x: (x.astype(jnp.uint32) >> 16).astype(jnp.int32)
+    ZT = jnp.stack([lo(z1row), hi(z1row), lo(z2row), hi(z2row)],
+                   axis=-1).astype(jnp.float32)            # [K,R,N,4]
+    zzpad = jnp.zeros(ZT.shape[:-2] + (H, 4), jnp.float32)
+    zpadf = jnp.concatenate([ZT, zzpad], axis=-2)
+    zpadb = jnp.concatenate([zzpad, ZT], axis=-2)
+    Zf = jnp.stack([zpadf[..., i:i + N, :] for i in range(H)], axis=-3)
+    Zb = jnp.stack([zpadb[..., H - i:H - i + N, :] for i in range(H)],
+                   axis=-3)
+    d5z = jnp.einsum('...mn,...hnt->h...mt', oh5.astype(jnp.float32), Zf,
+                     precision=jax.lax.Precision.HIGHEST)
+    d3z = jnp.einsum('...mn,...hnt->h...mt', oh3.astype(jnp.float32), Zb,
+                     precision=jax.lax.Precision.HIGHEST)
+
+    def comb(d, a_, b_):
+        return ((d[..., b_].astype(jnp.int32) << 16)
+                | d[..., a_].astype(jnp.int32))
+
+    z1_5 = comb(d5z, 0, 1)
+    z2_5 = comb(d5z, 2, 3)
+    z1_3 = comb(d3z, 0, 1)
+    z2_3 = comb(d3z, 2, 3)
+    # per-cell hash delta of pairing (p5, p3): Z[p5]*(p3+1)+Z[p3]*(p5+1)
+    # (int32 wraparound == uint32 mod 2^32)
+    zc1 = z1_5 * (p3 + 1) + z1_3 * (p5 + 1)                # [H,K,R,M]
+    zc2 = z2_5 * (p3 + 1) + z2_3 * (p5 + 1)
+
     # pair weight + pair type via sparse select chains (W and PAIR_TYPE
     # have only 6 nonzero entries each); both tables are host constants
     Wn = np.asarray(W, dtype=np.float32)
@@ -288,6 +339,10 @@ def _window_scan(cfg, dp, W, rcodes, rpos, mlen, lags, lag_ok):
         max_j=jnp.zeros(shape, jnp.int32),
         sE=jnp.zeros(shape, jnp.int32),
         best_sE=jnp.zeros(shape, jnp.int32),
+        hd1=jnp.zeros(shape, jnp.int32),
+        hd2=jnp.zeros(shape, jnp.int32),
+        best_h1=jnp.zeros(shape, jnp.int32),
+        best_h2=jnp.zeros(shape, jnp.int32),
     )
 
     def body(i, st):
@@ -306,6 +361,9 @@ def _window_scan(cfg, dp, W, rcodes, rpos, mlen, lags, lag_ok):
         in_run = (tot != 0) & (tot_prev != 0) & ci
         sE = jnp.where((tot == 0) | (tot_prev == 0), 0,
                        jnp.where(in_run, st["sE"] + gi, st["sE"]))
+        # hash delta accumulates over exactly the cells tmp_max counts
+        hd1 = jnp.where(tot == 0, 0, st["hd1"] + zc1[i])
+        hd2 = jnp.where(tot == 0, 0, st["hd2"] + zc2[i])
         upd = uo & (tot >= st["max_score"])
         ip = base + i
         jp = lag - ip
@@ -314,11 +372,15 @@ def _window_scan(cfg, dp, W, rcodes, rpos, mlen, lags, lag_ok):
         st["tot"] = jnp.where(iw, tot, st["tot"])
         st["tmp_max"] = jnp.where(iw, tmp_max, st["tmp_max"])
         st["sE"] = jnp.where(iw, sE, st["sE"])
+        st["hd1"] = jnp.where(iw, hd1, st["hd1"])
+        st["hd2"] = jnp.where(iw, hd2, st["hd2"])
         st["max_score"] = jnp.where(upd, tot, st["max_score"])
         st["max_nb"] = jnp.where(upd, tmp_max, st["max_nb"])
         st["max_i"] = jnp.where(upd, ip, st["max_i"])
         st["max_j"] = jnp.where(upd, jp, st["max_j"])
         st["best_sE"] = jnp.where(upd, sE, st["best_sE"])
+        st["best_h1"] = jnp.where(upd, hd1, st["best_h1"])
+        st["best_h2"] = jnp.where(upd, hd2, st["best_h2"])
         return st
 
     h_dyn = jnp.minimum(jnp.max(jnp.where(lag_ok, half, 0)), jnp.int32(H))
@@ -704,10 +766,15 @@ class FoldEngine:
                               and cfg.N % 128 == 0 and cfg.N <= 2048
                               and self.integral)
         rng = np.random.default_rng(0xA5F7)
-        self.Z1 = jnp.asarray(
-            rng.integers(1, 2**32 - 1, cfg.N + 1, dtype=np.uint64).astype(np.uint32))
-        self.Z2 = jnp.asarray(
-            rng.integers(1, 2**32 - 1, cfg.N + 1, dtype=np.uint64).astype(np.uint32))
+        z1 = rng.integers(1, 2**32 - 1, cfg.N + 1, dtype=np.uint64).astype(np.uint32)
+        z2 = rng.integers(1, 2**32 - 1, cfg.N + 1, dtype=np.uint64).astype(np.uint32)
+        self.Z1 = jnp.asarray(z1)
+        self.Z2 = jnp.asarray(z2)
+        # 16-bit halves (exact through the f32 one-hot lookup machinery)
+        self.Z1lo = jnp.asarray((z1 & 0xFFFF).astype(np.int32))
+        self.Z1hi = jnp.asarray((z1 >> 16).astype(np.int32))
+        self.Z2lo = jnp.asarray((z2 & 0xFFFF).astype(np.int32))
+        self.Z2hi = jnp.asarray((z2 >> 16).astype(np.int32))
         self._step = jax.jit(self._step_impl)
         self._refill = jax.jit(self._refill_impl)
         self._steps = jax.jit(self._steps_impl, static_argnums=(1,))
@@ -848,6 +915,13 @@ class FoldEngine:
         rpos, rloc, rslot, mlen = _regions(cfg, pt, enclose, rorder, n)
         rcodes = jnp.where(rpos < N,
                            flat_lookup(codes, jnp.clip(rpos, 0, N - 1)), 0)
+        # hash coefficients Z[rpos] for the incremental candidate hash
+        # deltas (16-bit-half lookups; recombined bitwise)
+        rposc = jnp.clip(rpos, 0, N)
+        z1row = ((flat_lookup(self.Z1hi, rposc) << 16)
+                 | flat_lookup(self.Z1lo, rposc))
+        z2row = ((flat_lookup(self.Z2hi, rposc) << 16)
+                 | flat_lookup(self.Z2lo, rposc))
         c = _cut_("regions", rpos, rloc, rslot, mlen, rcodes)
         if c is not None:
             return c
@@ -857,7 +931,8 @@ class FoldEngine:
             # anti-diagonal sweep (engine/wavefront.py), bit-identical to
             # the _correlate/_window_scan pair below
             from rafft_tpu.engine.wavefront import wavefront_tables
-            tabs = wavefront_tables(cfg, dp, self.W, rcodes, rpos, mlen)
+            tabs = wavefront_tables(cfg, dp, self.W, rcodes, rpos, mlen,
+                                    z1row=z1row, z2row=z2row)
             lagv = jnp.arange(2 * N - 1, dtype=jnp.int32)
             m_ = mlen[..., None]
             norm = (jnp.minimum(lagv, jnp.maximum(2 * m_ - 2 - lagv, 0))
@@ -870,16 +945,25 @@ class FoldEngine:
             c = _cut_("corr", lags, lvals, lag_ok)
             if c is not None:
                 return c
-            tab4 = jnp.stack([tabs["max_nb"], tabs["max_i"],
-                              tabs["max_j"], tabs["best_sE"]], axis=-1)
+            u32t = lambda x: x.astype(jnp.uint32)
+            i32t = lambda x: x.astype(jnp.int32)
+            tab8 = jnp.stack(
+                [tabs["max_nb"], tabs["max_i"], tabs["max_j"],
+                 tabs["best_sE"],
+                 i32t(u32t(tabs["hd1"]) & 0xFFFF),
+                 i32t(u32t(tabs["hd1"]) >> 16),
+                 i32t(u32t(tabs["hd2"]) & 0xFFFF),
+                 i32t(u32t(tabs["hd2"]) >> 16)], axis=-1)
             oh = (lags[..., None] == jnp.arange(2 * N, dtype=jnp.int32)
                   ).astype(jnp.float32)
-            g4 = jnp.einsum('...mx,...xt->...mt', oh,
-                            tab4.astype(jnp.float32),
+            g8 = jnp.einsum('...mx,...xt->...mt', oh,
+                            tab8.astype(jnp.float32),
                             precision=jax.lax.Precision.HIGHEST
                             ).astype(jnp.int32)
-            ws = dict(max_nb=g4[..., 0], max_i=g4[..., 1],
-                      max_j=g4[..., 2], best_sE=g4[..., 3])
+            ws = dict(max_nb=g8[..., 0], max_i=g8[..., 1],
+                      max_j=g8[..., 2], best_sE=g8[..., 3],
+                      hd1=(g8[..., 5] << 16) | g8[..., 4],
+                      hd2=(g8[..., 7] << 16) | g8[..., 6])
         else:
             cor = _correlate(cfg, self.W, rcodes, mlen, self.integral)
             lags, lvals = _top_lags(cfg, cor)
@@ -889,7 +973,8 @@ class FoldEngine:
             if c is not None:
                 return c
             ws = _window_scan(cfg, dp, self.W, rcodes, rpos, mlen, lags,
-                              lag_ok)
+                              lag_ok, z1row=z1row, z2row=z2row)
+            ws = dict(ws, hd1=ws["best_h1"], hd2=ws["best_h2"])
         c = _cut_("wscan", ws["max_nb"], ws["max_i"], ws["max_j"],
                   ws["best_sE"])
         if c is not None:
@@ -910,6 +995,9 @@ class FoldEngine:
         order_c = jnp.argsort(~flat_cplx)            # complex first
         c_idx = order_c[: cfg.CPLX]
         c_on = flat_cplx[c_idx]
+        c = _cut_("cplx_sel", c_idx, c_on)
+        if c is not None:
+            return c
 
         ck = jnp.clip(c_idx // (R * M), 0, K - 1)
         cr = (c_idx // M) % R
@@ -922,6 +1010,9 @@ class FoldEngine:
             jnp.where(selr, cflat(ws["max_j"])[:, None], 0),
             jnp.where(selr, cflat(ws["max_nb"])[:, None], 0),
             selr)
+        c = _cut_("cplx_pt", cand_pts)
+        if c is not None:
+            return c
         from rafft_tpu.engine.lookup import assume_batched
         with assume_batched():
             cand_E = jax.vmap(lambda p: eval_pt(dp, codes, p, n))(cand_pts)
@@ -969,16 +1060,21 @@ class FoldEngine:
         # suspect below).
         participating = prod_k > 0
         nsuffix = jnp.cumsum(participating[::-1].astype(jnp.int32))[::-1]
-        combos_list = []
-        cumb = jnp.int32(0)
-        for k_ in range(K):
-            reserved_after = nsuffix[k_] - participating[k_].astype(jnp.int32)
-            budget = jnp.maximum(V - cumb - reserved_after, 1)
-            ck = jnp.minimum(prod_k[k_], budget)
-            ck = jnp.where(participating[k_], jnp.maximum(ck, 1), 0)
-            combos_list.append(ck)
-            cumb = cumb + ck
-        combos_k = jnp.stack(combos_list)
+        reserved_after = nsuffix - participating.astype(jnp.int32)
+
+        # sequential dependence (each parent's budget is what earlier
+        # parents left over) as a K-trip scan: a Python loop here would
+        # unroll K scalar subgraphs and blow up compile time in K (the
+        # round-4 K=200 pathology)
+        def _alloc(cumb, inp):
+            p_k, prod, resv = inp
+            budget = jnp.maximum(V - cumb - resv, 1)
+            ck = jnp.minimum(prod, budget)
+            ck = jnp.where(p_k, jnp.maximum(ck, 1), 0)
+            return cumb + ck, ck
+
+        _, combos_k = jax.lax.scan(
+            _alloc, jnp.int32(0), (participating, prod_k, reserved_after))
         trunc_k = combos_k < prod_k
         cum = jnp.cumsum(combos_k)
         total = jnp.minimum(cum[-1], V)
@@ -988,6 +1084,10 @@ class FoldEngine:
         kvc = jnp.clip(kv, 0, K - 1)
         local = v - jnp.where(kv > 0, cum[jnp.clip(kv - 1, 0, K - 1)], 0)
         v_ok = (v < total) & ~done
+
+        c = _cut_("enum_alloc", kvc, local, v_ok, combos_k)
+        if c is not None:
+            return c
 
         szk = row_lookup(sz, kvc)                              # [V,R]
         # stride_r = prod of sizes after r (last region varies fastest);
@@ -1000,48 +1100,105 @@ class FoldEngine:
             acc = jnp.minimum(acc * szk[:, r], CLAMP)
         stride = jnp.stack(stride_cols[::-1], axis=-1)         # [V,R]
         idx_r = (local[:, None] // stride) % szk               # [V,R]
-        cand_m = batched_taa(row_lookup(ordm, kvc),
-                             idx_r[..., None])[..., 0]         # [V,R]
         on_r = row_lookup(part, kvc)                           # [V,R]
 
-        def pick(field):
-            return batched_taa(row_lookup(field, kvc),
-                               cand_m[..., None])[..., 0]
+        # ---- per-candidate accumulators, packed + rank-permuted
+        # The [V]-level only needs ADDITIVE per-candidate quantities
+        # (dE, the stem's pair-table hash delta, its live-region count);
+        # everything positional (the stem itself, child region order) is
+        # rebuilt after pooling for the K survivors only.  Pack the four
+        # accumulators into 4 exact-f32 channels (all < 2^24), permute
+        # the candidate axis by acceptance rank at [K,R,M] (cheap), and
+        # pick at [V,R] with ONE one-hot contraction over K and one over
+        # the rank axis — this replaces seven [V,R,M]-shaped gathers and
+        # the [V,N] combination pair-table build of the old formulation.
+        OFF = jnp.int32(1 << 19)
+        uv = lambda x: x.astype(jnp.uint32)
+        iv = lambda x: x.astype(jnp.int32)
+        hd1_t = ws["hd1"]
+        hd2_t = ws["hd2"]                                      # [K,R,M] i32
+        lin_c = ws["max_j"] - ws["max_i"] - 1
+        i0_c = ws["max_i"] - ws["max_nb"] + 1
+        nlive2 = ((lin_c > 0).astype(jnp.int32)
+                  + ((i0_c > 0) | (ws["max_j"] + ws["max_nb"]
+                                   < mlen[..., None])).astype(jnp.int32))
+        h1lo = iv(uv(hd1_t) & 0xFFFF)
+        h1hi = iv(uv(hd1_t) >> 16)
+        h2lo = iv(uv(hd2_t) & 0xFFFF)
+        h2hi = iv(uv(hd2_t) >> 16)
+        P4 = jnp.stack([
+            (delta + OFF) + nlive2 * (1 << 21),
+            h1lo + (h1hi & 0xFF) * (1 << 16),
+            h2lo + (h2hi & 0xFF) * (1 << 16),
+            (h1hi >> 8) + (h2hi >> 8) * (1 << 8)], axis=-1)    # [K,R,M,4]
+        ohm = (ordm[..., None] == jnp.arange(M, dtype=jnp.int32)
+               ).astype(jnp.float32)                           # [K,R,M,M]
+        D4 = jnp.einsum('krsm,krmc->krsc', ohm, P4.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST)
+        oh_k = (kvc[:, None] == jnp.arange(K, dtype=jnp.int32)
+                ).astype(jnp.float32)                          # [V,K]
+        Dv = jnp.einsum('vk,kx->vx', oh_k,
+                        D4.reshape(K, R * M * 4),
+                        precision=jax.lax.Precision.HIGHEST
+                        ).reshape(V, R, M, 4)
+        ohs = (idx_r[..., None] == jnp.arange(M, dtype=jnp.int32)
+               ).astype(jnp.float32)                           # [V,R,M]
+        picked = jnp.einsum('vrs,vrsc->vrc', ohs, Dv,
+                            precision=jax.lax.Precision.HIGHEST)
+        pc = picked.astype(jnp.int32)                          # [V,R,4]
+        d_nlive = pc[..., 0] >> 21
+        d_delta = (pc[..., 0] & ((1 << 21) - 1)) - OFF
+        d_h1 = iv((uv(pc[..., 1]) & 0xFFFF)
+                  | ((uv(pc[..., 1]) >> 16) << 16)
+                  | ((uv(pc[..., 3]) & 0xFF) << 24))
+        d_h2 = iv((uv(pc[..., 2]) & 0xFFFF)
+                  | (((uv(pc[..., 2]) >> 16) & 0xFF) << 16)
+                  | ((uv(pc[..., 3]) >> 8) << 24))
+        c = _cut_("enum_pick", d_delta, d_h1, d_h2, d_nlive, on_r)
+        if c is not None:
+            return c
 
-        ch_i = pick(ws["max_i"])
-        ch_j = pick(ws["max_j"])
-        ch_run = pick(ws["max_nb"])
-        ch_delta = pick(delta)
-        ch_p0 = pick(p0)
-        ch_a = pick(a)
-        ch_lin = ch_j - ch_i - 1
-        ch_m = row_lookup(mlen, kvc)
-
-        new_pt = _combo_pt(cfg, row_lookup(pt, kvc), row_lookup(rloc, kvc),
-                           row_lookup(rslot, kvc), row_lookup(rpos, kvc),
-                           ch_i, ch_j, ch_run, on_r)
         new_E = row_lookup(energy, kvc) \
-            + jnp.where(on_r, ch_delta, 0).sum(axis=-1)
-
-        # ---- child region order: per parent region -> [inner, outer]
-        par_lab = row_lookup(rorder, kvc)                      # [V,R]
-        inner_ok = on_r & (ch_lin > 0)
-        i_loc0 = ch_i - ch_run + 1
-        outer_ok = on_r & ((i_loc0 > 0) | (ch_j + ch_run < ch_m))
-        lab2 = jnp.stack([jnp.where(inner_ok, ch_p0, -2),
-                          jnp.where(outer_ok, par_lab, -2)], axis=-1)
-        lab2 = lab2.reshape(V, 2 * R)
-        key_order = jnp.where(lab2 > -2,
-                              jnp.arange(2 * R, dtype=jnp.int32)[None, :],
-                              jnp.int32(2 * R + 1))
-        take = jnp.argsort(key_order, axis=-1)[:, :R]
-        new_rorder = batched_taa(lab2, take)
+            + jnp.where(on_r, d_delta, 0).sum(axis=-1)
         # a combo with more live regions than R slots would silently drop
         # regions (and with them future candidates); flag it so the
         # sweep's CPU-parity fallback fires (region semantics of the
         # reference's node_list, rafft/utils.py:141-152)
-        r_over = (lab2 > -2).sum(axis=-1) > R                  # [V]
-        c = _cut_("enum", new_pt, new_E, new_rorder, r_over)
+        r_over = jnp.where(on_r, d_nlive, 0).sum(axis=-1) > R  # [V]
+
+        # combination hashes compose additively from the parents' hashes
+        # and the chosen stems' deltas (uint32 mod-2^32 arithmetic) —
+        # exactly _hash() of the combination pair table, never built
+        ph1, ph2 = self._hash(pt)                              # [K] u32
+        PH = jnp.stack([iv(ph1 & 0xFFFF), iv(ph1 >> 16),
+                        iv(ph2 & 0xFFFF), iv(ph2 >> 16)], axis=-1)
+        phv = row_lookup(PH, kvc)                              # [V,4]
+        hsum1 = jnp.where(on_r, d_h1, 0).astype(jnp.uint32).sum(axis=-1)
+        hsum2 = jnp.where(on_r, d_h2, 0).astype(jnp.uint32).sum(axis=-1)
+        h1 = (uv(phv[..., 0]) | (uv(phv[..., 1]) << 16)) + hsum1
+        h2 = (uv(phv[..., 2]) | (uv(phv[..., 3]) << 16)) + hsum2
+
+        if _CHECK_HASH:
+            # debug/test mode: rebuild every combination pair table the
+            # pre-incremental way and verify the composed hashes match
+            cand_m = batched_taa(row_lookup(ordm, kvc),
+                                 idx_r[..., None])[..., 0]     # [V,R]
+            ch_i_f = batched_taa(row_lookup(ws["max_i"], kvc),
+                                 cand_m[..., None])[..., 0]
+            ch_j_f = batched_taa(row_lookup(ws["max_j"], kvc),
+                                 cand_m[..., None])[..., 0]
+            ch_r_f = batched_taa(row_lookup(ws["max_nb"], kvc),
+                                 cand_m[..., None])[..., 0]
+            pt_full = _combo_pt(cfg, row_lookup(pt, kvc),
+                                row_lookup(rloc, kvc),
+                                row_lookup(rslot, kvc),
+                                row_lookup(rpos, kvc),
+                                ch_i_f, ch_j_f, ch_r_f, on_r)
+            fh1, fh2 = self._hash(pt_full)
+            mism = (v_ok & ((fh1 != h1) | (fh2 != h2))).sum()
+            enum_suspect = enum_suspect | jnp.where(mism > 0, FLAG_HASH, 0)
+
+        c = _cut_("enum", new_E, h1, h2, r_over)
         if c is not None:
             return c
 
@@ -1050,7 +1207,6 @@ class FoldEngine:
         # the cap check runs after each processed combo, and `break` only
         # exits the current parent's product loop — so after the cap each
         # later parent still processes exactly its FIRST combo)
-        h1, h2 = self._hash(new_pt)
         sc = jnp.arange(cfg.S) < seen_cnt
         in_seen = ((h1[:, None] == seen_h1[None, :])
                    & (h2[:, None] == seen_h2[None, :])
@@ -1088,13 +1244,15 @@ class FoldEngine:
         if c is not None:
             return c
 
+        # exactness flags, one bit per cause so the sweep can histogram
+        # WHICH budget tripped (FLAG_* constants below):
         # would the reference have enumerated combos we never built?
-        suspect = jnp.where(
+        suspect_v = jnp.where(
             capped,
             (trunc_k & (jnp.arange(K, dtype=jnp.int32) <= kcap)).any(),
             trunc_k.any()) & ~done
         # ... or kept regions we had no slot for?
-        suspect = suspect | (r_over & newmask).any()
+        suspect_r = (r_over & newmask).any()
 
         # insert into seen (capacity overflow voids dedup exactness ->
         # flag the sequence for the CPU-parity fallback)
@@ -1102,8 +1260,11 @@ class FoldEngine:
         seen_h1 = seen_h1.at[slot].set(jnp.where(newmask, h1, seen_h1[slot]))
         seen_h2 = seen_h2.at[slot].set(jnp.where(newmask, h2, seen_h2[slot]))
         new_cnt = seen_cnt + newmask.sum()
-        suspect = suspect | (new_cnt > cfg.S - 1)
+        suspect_s = new_cnt > cfg.S - 1
         seen_cnt = jnp.minimum(new_cnt, cfg.S - 1)
+        bits = (jnp.where(suspect_v, FLAG_VWINDOW, 0)
+                | jnp.where(suspect_r, FLAG_RSLOTS, 0)
+                | jnp.where(suspect_s, FLAG_SEEN, 0))
 
         # ---- pool (new before old on ties) and truncate to K
         INFE = jnp.int32(2**30)
@@ -1115,17 +1276,57 @@ class FoldEngine:
         src_new = jnp.clip(order_p, 0, V - 1)
         src_old = jnp.clip(order_p - V, 0, K - 1)
 
-        beam_pt = jnp.where(sel_new[:, None], new_pt[src_new], pt[src_old])
+        # ---- rebuild the K survivors' pair tables + child region order
+        # (deferred from the [V] level: only pooled slots need them)
+        kv_sel = kvc[src_new]                                  # [K]
+        idx_sel = idx_r[src_new]                               # [K,R]
+        on_sel = on_r[src_new]
+        cand_sel = batched_taa(row_lookup(ordm, kv_sel),
+                               idx_sel[..., None])[..., 0]     # [K,R]
+
+        def pick_s(field):
+            return batched_taa(row_lookup(field, kv_sel),
+                               cand_sel[..., None])[..., 0]
+
+        chi_s = pick_s(ws["max_i"])
+        chj_s = pick_s(ws["max_j"])
+        chr_s = pick_s(ws["max_nb"])
+        chp0_s = pick_s(p0)
+        with assume_batched():
+            new_pt_s = _combo_pt(
+                cfg, row_lookup(pt, kv_sel), row_lookup(rloc, kv_sel),
+                row_lookup(rslot, kv_sel), row_lookup(rpos, kv_sel),
+                chi_s, chj_s, chr_s, on_sel)
+
+        # child region order: per parent region -> [inner, outer]
+        par_lab_s = row_lookup(rorder, kv_sel)                 # [K,R]
+        mlen_s = row_lookup(mlen, kv_sel)
+        inner_ok = on_sel & (chj_s - chi_s - 1 > 0)
+        outer_ok = on_sel & (((chi_s - chr_s + 1) > 0)
+                             | (chj_s + chr_s < mlen_s))
+        lab2 = jnp.stack([jnp.where(inner_ok, chp0_s, -2),
+                          jnp.where(outer_ok, par_lab_s, -2)], axis=-1)
+        lab2 = lab2.reshape(K, 2 * R)
+        key_order = jnp.where(lab2 > -2,
+                              jnp.arange(2 * R, dtype=jnp.int32)[None, :],
+                              jnp.int32(2 * R + 1))
+        take = jnp.argsort(key_order, axis=-1)[:, :R]
+        new_ror_s = batched_taa(lab2, take)
+
+        beam_pt = jnp.where(sel_new[:, None], new_pt_s, pt[src_old])
         beam_E = jnp.where(sel_new, new_E[src_new], energy[src_old])
         beam_act = jnp.where(sel_new, newmask[src_new], active[src_old])
-        beam_ror = jnp.where(sel_new[:, None], new_rorder[src_new],
+        beam_ror = jnp.where(sel_new[:, None], new_ror_s,
                              rorder[src_old])
 
-        bh1, _ = self._hash(beam_pt)
-        oh1, _ = self._hash(pt)
-        unchanged = jnp.all((bh1 == oh1) & (beam_act == active)
+        # fixed-point check on composed hashes (== _hash of the tables)
+        bh1 = jnp.where(sel_new, h1[src_new], ph1[src_old])
+        unchanged = jnp.all((bh1 == ph1) & (beam_act == active)
                             | (~beam_act & ~active))
         new_done = done | unchanged
+        c = _cut_("pool", beam_pt, beam_E, beam_ror, bh1)
+        if c is not None:
+            return c
 
         keep = ~done
         pt = jnp.where(keep, beam_pt, pt)
@@ -1133,7 +1334,7 @@ class FoldEngine:
         active = jnp.where(keep, beam_act, active)
         rorder = jnp.where(keep, beam_ror, rorder)
         cplx_dropped = cplx_dropped + jnp.where(keep, dropped, 0)
-        enum_suspect = enum_suspect + jnp.where(keep & suspect, 1, 0)
+        enum_suspect = enum_suspect | jnp.where(keep, bits, 0)
 
         return (pt, energy, active, rorder, seen_h1, seen_h2, seen_cnt,
                 new_done, cplx_dropped, enum_suspect)
@@ -1157,7 +1358,9 @@ class FoldEngine:
         st["out_seqid"] = jnp.where(rec, st["seqid"], st["out_seqid"])
         st["out_done"] = jnp.where(rec, st["done"], st["out_done"])
         st["out_flag"] = jnp.where(
-            rec, st["cplx_dropped"] + st["enum_suspect"], st["out_flag"])
+            rec, st["enum_suspect"]
+            | jnp.where(st["cplx_dropped"] > 0, FLAG_CPLX, 0)
+            | jnp.where(st["done"], 0, FLAG_STEPLIM), st["out_flag"])
         st["out_valid"] = st["out_valid"] | rec
         st2 = self._refill_impl(st, rec, st["next_codes"], st["next_n"])
         st2["seqid"] = jnp.where(rec, st["next_seqid"], st["seqid"])
@@ -1253,7 +1456,10 @@ class FoldEngine:
             sid_new = np.full(B, -1, np.int32)
             for b in fresh:
                 rows = self._rows_from(o_pt[b], o_E[b], o_act[b], o_n[b])
-                yield int(o_sid[b]), rows, (o_flag[b] > 0 or not o_done[b])
+                # `flagged` is a cause bitmask (FLAG_*); truthy iff any
+                # exactness budget tripped
+                yield int(o_sid[b]), rows, int(o_flag[b]) | (
+                    0 if o_done[b] else FLAG_STEPLIM)
                 emitted += 1
                 clear[b] = True
                 if nxt < nseq:
@@ -1275,16 +1481,18 @@ class FoldEngine:
                 live = (l_sid >= 0) & (l_done | (l_steps >= LIM))
                 if not live.any():
                     continue
-                pt_l, E_l, act_l, n_l, fl_l = jax.device_get(
+                pt_l, E_l, act_l, n_l, cd_l, es_l = jax.device_get(
                     (state["pt"], state["energy"], state["active"],
-                     state["n"], state["cplx_dropped"]
-                     + state["enum_suspect"]))
+                     state["n"], state["cplx_dropped"],
+                     state["enum_suspect"]))
                 kill = np.zeros(B, bool)
                 for b in np.where(live)[0]:
                     rows = self._rows_from(pt_l[b], E_l[b], act_l[b],
                                            n_l[b])
                     yield (int(l_sid[b]), rows,
-                           (fl_l[b] > 0 or not l_done[b]))
+                           int(es_l[b])
+                           | (FLAG_CPLX if cd_l[b] > 0 else 0)
+                           | (0 if l_done[b] else FLAG_STEPLIM))
                     emitted += 1
                     kill[b] = True
                 # retire emitted lanes (seqid := -1 via a masked load of

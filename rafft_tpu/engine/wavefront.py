@@ -41,21 +41,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(mmax_ref, rcodes_ref, rpos_ref, mlen_ref,
-            cor_ref, mnb_ref, mi_ref, mj_ref, msE_ref,
+def _kernel(mmax_ref, rcodes_ref, rpos_ref, mlen_ref, z1_ref, z2_ref,
+            cor_ref, mnb_ref, mi_ref, mj_ref, msE_ref, hd1_ref, hd2_ref,
             # scratch
             tot_s, tmp_s, sE_s, cor_s, ms_s, nb_s, mi_s, mj_s, bsE_s,
-            c_cor, c_nb, c_mi, c_mj, c_sE,
+            hd1_s, hd2_s, bh1_s, bh2_s,
+            c_cor, c_nb, c_mi, c_mj, c_sE, c_h1, c_h2,
             *, R, N, min_hp, Wn, PTn, STn):
     """One (k) program: wavefront sweep over all R regions of beam row k.
 
     Wn/PTn/STn are host constants (pair weights, pair types, stack
-    energies) baked into select chains.
+    energies) baked into select chains.  z1/z2 are the per-position
+    Zobrist-style hash coefficients Z[rpos] (int32 bit patterns of
+    uint32): the sweep accumulates, per candidate run, the exact hash
+    delta its stem would apply to the parent pair-table hash
+    (fold_jax._hash), so combination hashes compose arithmetically and
+    the engine never materialises combination pair tables.
     """
     mmax = mmax_ref[pl.program_id(0), 0]
     rcodes = rcodes_ref[0]                       # [R, N] i32
     rpos = rpos_ref[0]                           # [R, N] i32
     mlen = mlen_ref[0].astype(jnp.int32)         # [R, N] (broadcast copies)
+    z1row = z1_ref[0]                            # [R, N] i32 = Z1[rpos]
+    z2row = z2_ref[0]                            # [R, N] i32 = Z2[rpos]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
     # constants along the sweep
@@ -68,10 +76,11 @@ def _kernel(mmax_ref, rcodes_ref, rpos_ref, mlen_ref,
 
     for ref in (tot_s, cor_s, ms_s):
         ref[...] = jnp.zeros((R, N), jnp.float32)
-    for ref in (tmp_s, sE_s, nb_s, mi_s, mj_s, bsE_s):
+    for ref in (tmp_s, sE_s, nb_s, mi_s, mj_s, bsE_s,
+                hd1_s, hd2_s, bh1_s, bh2_s):
         ref[...] = jnp.zeros((R, N), jnp.int32)
     c_cor[...] = jnp.zeros((R, N), jnp.float32)
-    for ref in (c_nb, c_mi, c_mj, c_sE):
+    for ref in (c_nb, c_mi, c_mj, c_sE, c_h1, c_h2):
         ref[...] = jnp.zeros((R, N), jnp.int32)
 
     def sel_chain(lin, table, default, out_dtype):
@@ -86,6 +95,8 @@ def _kernel(mmax_ref, rcodes_ref, rpos_ref, mlen_ref,
         sel = (lane == ip)
         c5 = jnp.sum(jnp.where(sel, rcodes, 0), axis=1, keepdims=True)
         p5 = jnp.sum(jnp.where(sel, rpos, 0), axis=1, keepdims=True)
+        z1_5 = jnp.sum(jnp.where(sel, z1row, 0), axis=1, keepdims=True)
+        z2_5 = jnp.sum(jnp.where(sel, z2row, 0), axis=1, keepdims=True)
 
         def shift(ref, fill):
             x = pltpu.roll(ref[...], N - 1, axis=1)
@@ -100,6 +111,10 @@ def _kernel(mmax_ref, rcodes_ref, rpos_ref, mlen_ref,
         mi_p = shift(mi_s, jnp.int32(0))
         mj_p = shift(mj_s, jnp.int32(0))
         bsE_p = shift(bsE_s, jnp.int32(0))
+        hd1_p = shift(hd1_s, jnp.int32(0))
+        hd2_p = shift(hd2_s, jnp.int32(0))
+        bh1_p = shift(bh1_s, jnp.int32(0))
+        bh2_p = shift(bh2_s, jnp.int32(0))
 
         # cell quantities (all [R, N])
         lag = lane + ip
@@ -122,6 +137,14 @@ def _kernel(mmax_ref, rcodes_ref, rpos_ref, mlen_ref,
         in_run = (tot != 0) & (tot_p != 0) & contig
         sE = jnp.where((tot == 0) | (tot_p == 0), 0,
                        jnp.where(in_run, sE_p + g, sE_p))
+        # hash delta of pairing (p5, p3) on an unpaired parent position:
+        # Z[p5]*((p3+2)-1) + Z[p3]*((p5+2)-1), accumulated over exactly
+        # the cells tmp counts (the stem _combo_pt will build); int32
+        # wraparound == uint32 arithmetic mod 2^32
+        z1c = z1_5 * (p3 + 1) + z1row * (p5 + 1)
+        z2c = z2_5 * (p3 + 1) + z2row * (p5 + 1)
+        hd1 = jnp.where(tot == 0, 0, hd1_p + z1c)
+        hd2 = jnp.where(tot == 0, 0, hd2_p + z2c)
 
         w_width = jnp.where(lag < m, lag + 1, 2 * m - lag - 1)
         half = w_width // 2 + (w_width % 2)
@@ -135,6 +158,8 @@ def _kernel(mmax_ref, rcodes_ref, rpos_ref, mlen_ref,
         mi = jnp.where(upd, ip, mi_p)
         mj = jnp.where(upd, lane, mj_p)
         bsE = jnp.where(upd, sE, bsE_p)
+        bh1 = jnp.where(upd, hd1, bh1_p)
+        bh2 = jnp.where(upd, hd2, bh2_p)
         cor = cor_p + w
 
         tot_s[...] = tot
@@ -146,6 +171,10 @@ def _kernel(mmax_ref, rcodes_ref, rpos_ref, mlen_ref,
         mi_s[...] = mi
         mj_s[...] = mj
         bsE_s[...] = bsE
+        hd1_s[...] = hd1
+        hd2_s[...] = hd2
+        bh1_s[...] = bh1
+        bh2_s[...] = bh2
 
         # push lane 0 (the cell that FINALISES lag == ip) into collectors
         def push(cref, sref, dtype):
@@ -160,6 +189,8 @@ def _kernel(mmax_ref, rcodes_ref, rpos_ref, mlen_ref,
         push(c_mi, mi_s, jnp.int32)
         push(c_mj, mj_s, jnp.int32)
         push(c_sE, bsE_s, jnp.int32)
+        push(c_h1, bh1_s, jnp.int32)
+        push(c_h2, bh2_s, jnp.int32)
         return (c5, p5)
 
     init = (jnp.zeros((R, 1), jnp.int32), jnp.full((R, 1), -9, jnp.int32))
@@ -187,11 +218,13 @@ def _kernel(mmax_ref, rcodes_ref, rpos_ref, mlen_ref,
     stitch(mi_ref, c_mi, mi_s, jnp.int32)
     stitch(mj_ref, c_mj, mj_s, jnp.int32)
     stitch(msE_ref, c_sE, bsE_s, jnp.int32)
+    stitch(hd1_ref, c_h1, bh1_s, jnp.int32)
+    stitch(hd2_ref, c_h2, bh2_s, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("R", "N", "min_hp", "wn", "ptn", "stn",
                                    "interpret"))
-def _wavefront_call(rcodes, rpos, mlen, mmax, *, R, N, min_hp,
+def _wavefront_call(rcodes, rpos, mlen, mmax, z1row, z2row, *, R, N, min_hp,
                     wn, ptn, stn, interpret=False):
     K = rcodes.shape[0]
     Wn = np.asarray(wn, np.float32).reshape(5, 5)
@@ -207,45 +240,51 @@ def _wavefront_call(rcodes, rpos, mlen, mmax, *, R, N, min_hp,
                          memory_space=pltpu.VMEM)
     bs_out = pl.BlockSpec((1, R, 2 * N), lambda k: (k, 0, 0),
                           memory_space=pltpu.VMEM)
-    out_shapes = (
-        jax.ShapeDtypeStruct((K, R, 2 * N), jnp.float32),
-        jax.ShapeDtypeStruct((K, R, 2 * N), jnp.int32),
-        jax.ShapeDtypeStruct((K, R, 2 * N), jnp.int32),
-        jax.ShapeDtypeStruct((K, R, 2 * N), jnp.int32),
-        jax.ShapeDtypeStruct((K, R, 2 * N), jnp.int32),
-    )
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((K, R, 2 * N), dt)
+        for dt in (jnp.float32,) + (jnp.int32,) * 6)
     scratch = ([pltpu.VMEM((R, N), jnp.float32)] * 1
                + [pltpu.VMEM((R, N), jnp.int32)] * 2
                + [pltpu.VMEM((R, N), jnp.float32)] * 2
                + [pltpu.VMEM((R, N), jnp.int32)] * 4
+               + [pltpu.VMEM((R, N), jnp.int32)] * 4    # hd1/hd2/bh1/bh2
                + [pltpu.VMEM((R, N), jnp.float32)] * 1
-               + [pltpu.VMEM((R, N), jnp.int32)] * 4)
+               + [pltpu.VMEM((R, N), jnp.int32)] * 6)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[bs_sc, bs_in, bs_in, bs_in],
-        out_specs=tuple([bs_out] * 5),
+        in_specs=[bs_sc, bs_in, bs_in, bs_in, bs_in, bs_in],
+        out_specs=tuple([bs_out] * 7),
         scratch_shapes=scratch,
         out_shape=out_shapes,
         interpret=interpret,
-    )(mmax[:, None], rcodes, rpos, mlen_b)
+    )(mmax[:, None], rcodes, rpos, mlen_b, z1row, z2row)
 
 
-def wavefront_tables(cfg, dp, W, rcodes, rpos, mlen, interpret=False):
+def wavefront_tables(cfg, dp, W, rcodes, rpos, mlen, z1row=None, z2row=None,
+                     interpret=False):
     """Per-lag window-scan tables, [K, R, 2N] each.
 
-    Returns dict(cor_raw, max_nb, max_i, max_j, best_sE); cor_raw is the
-    UN-normalised correlation (caller divides by the triangle+pad norm).
+    Returns dict(cor_raw, max_nb, max_i, max_j, best_sE, hd1, hd2);
+    cor_raw is the UN-normalised correlation (caller divides by the
+    triangle+pad norm); hd1/hd2 are the candidate stems' pair-table hash
+    deltas (uint32 bit patterns in int32).  z1row/z2row are Z[rpos]
+    coefficient tables (zeros if omitted — hd outputs are then unused).
     Call per batch element (vmap extends the pallas grid).
 
     interpret=True runs the kernel through the Pallas interpreter so the
     TPU-only path is testable on the CPU suite (tests/test_wavefront.py)."""
     mmax = jnp.max(mlen, axis=-1).astype(jnp.int32)        # [K]
-    cor, nb, mi, mj, sE = _wavefront_call(
-        rcodes, rpos, mlen, mmax,
+    if z1row is None:
+        z1row = jnp.zeros(rpos.shape, jnp.int32)
+    if z2row is None:
+        z2row = jnp.zeros(rpos.shape, jnp.int32)
+    cor, nb, mi, mj, sE, hd1, hd2 = _wavefront_call(
+        rcodes, rpos, mlen, mmax, z1row, z2row,
         R=cfg.R, N=cfg.N, min_hp=cfg.min_hp,
         wn=tuple(np.asarray(W, np.float32).reshape(-1).tolist()),
         ptn=tuple(np.asarray(dp.pair_type).reshape(-1).tolist()),
         stn=tuple(np.asarray(dp.stack).reshape(-1).tolist()),
         interpret=interpret)
-    return dict(cor_raw=cor, max_nb=nb, max_i=mi, max_j=mj, best_sE=sE)
+    return dict(cor_raw=cor, max_nb=nb, max_i=mi, max_j=mj, best_sE=sE,
+                hd1=hd1, hd2=hd2)

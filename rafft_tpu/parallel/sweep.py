@@ -29,6 +29,10 @@ import numpy as np
 
 DEFAULT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
 
+# engine exactness-flag bits -> cause names (fold_jax.FLAG_*)
+FLAG_NAMES = {1: "v_window", 2: "r_slots", 4: "seen_set", 8: "hash_check",
+              16: "cplx_budget", 32: "step_limit"}
+
 
 def _cpu_refold(task):
     """Pool worker: re-fold one flagged sequence on the sequential
@@ -97,6 +101,7 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
 
     results = [None] * len(records)
     n_fallback = 0
+    flag_hist: dict[str, int] = {}
     done_buckets = set()
     if checkpoint and os.path.exists(checkpoint):
         with open(checkpoint) as fh:
@@ -117,7 +122,7 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
                 rows = [("." * len(seq), 0.0)]
             if beam_fh is not None:
                 beam_fh.write(json.dumps(dict(
-                    name=name, seq=seq, flagged=bool(flagged),
+                    name=name, seq=seq, flagged=int(flagged),
                     beam=[[d, float(np.float32(ee))] for d, ee in rows]))
                     + "\n")
             db, e = rows[0]
@@ -172,8 +177,13 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
             bucket_seqs = [records[i][0] for i in idxs]
             for local_i, rows, flagged in eng.run_stream(bucket_seqs,
                                                          shard=shard):
-                n_fallback += int(flagged)
+                n_fallback += int(bool(flagged))
                 if flagged:
+                    # flagged is a FLAG_* cause bitmask — histogram the
+                    # causes so the binding budget can be engineered down
+                    for bit, cause in FLAG_NAMES.items():
+                        if int(flagged) & bit:
+                            flag_hist[cause] = flag_hist.get(cause, 0) + 1
                     i = idxs[local_i]
                     pending.append((i, records[i][0], nb_mode, max_stack,
                                     max_branch))
@@ -213,9 +223,11 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
                      done=True, secs=time.time() - t_bucket)
     if n_fallback:
         print(f"[sweep] {n_fallback} sequences re-folded on the CPU "
-              f"parity engine (enumeration/budget flags)", flush=True)
+              f"parity engine (enumeration/budget flags: {flag_hist})",
+              flush=True)
     if stats is not None:
         stats["n_fallback"] = n_fallback
+        stats["flag_causes"] = flag_hist
     return results
 
 

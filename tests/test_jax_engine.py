@@ -59,6 +59,30 @@ def test_region_overflow_flagged():
     assert [(db, e) for db, e in beams[0]] == want
 
 
+def test_incremental_hash_composition():
+    """_CHECK_HASH rebuilds every combination pair table the
+    pre-incremental way and counts composed-hash mismatches into
+    enum_suspect — the flagged counts (and beams) must be identical
+    with and without the check, i.e. zero mismatches ever."""
+    from rafft_tpu.engine import fold_jax as FJ
+    from rafft_tpu.engine.fold_jax import FoldEngine, EngineConfig
+
+    rng = np.random.default_rng(3)
+    seqs = ["".join(rng.choice(list("ACGU"), int(rng.integers(24, 60))))
+            for _ in range(4)]
+    cfg = EngineConfig(N=64, K=8, R=8, M=32, V=256, CPLX=64, S=1024,
+                      max_branch=256, max_steps=10)
+    beams0, st0 = FoldEngine(cfg, B=4).run(seqs)
+    FJ._CHECK_HASH = True
+    try:
+        beams1, st1 = FoldEngine(cfg, B=4).run(seqs)
+    finally:
+        FJ._CHECK_HASH = False
+    assert beams0 == beams1
+    np.testing.assert_array_equal(np.asarray(st0["enum_suspect"]),
+                                  np.asarray(st1["enum_suspect"]))
+
+
 def test_sharded_step_runs(tiny_engine):
     import jax
 

@@ -46,17 +46,31 @@ def _random_regions(rng, n_max=100):
     return (jnp.asarray(rcodes), jnp.asarray(rpos), jnp.asarray(mlen))
 
 
-def _jax_path(rcodes, rpos, mlen):
+_ZRNG = np.random.default_rng(0xBEEF)
+_Z1 = _ZRNG.integers(1, 2**32 - 1, CFG.N + 1, dtype=np.uint64).astype(np.uint32)
+_Z2 = _ZRNG.integers(1, 2**32 - 1, CFG.N + 1, dtype=np.uint64).astype(np.uint32)
+
+
+def _zrows(rpos):
+    rp = np.clip(np.asarray(rpos), 0, CFG.N)
+    return (jnp.asarray(_Z1[rp].astype(np.int32)),
+            jnp.asarray(_Z2[rp].astype(np.int32)))
+
+
+def _jax_path(rcodes, rpos, mlen, z1row, z2row):
     cor = FJ._correlate(CFG, W, rcodes, mlen, True)
     lags, lvals = FJ._top_lags(CFG, cor)
     lag_ok = (lvals > FJ.NEG / 2) & (mlen[:, :, None] >= 2)
-    ws = FJ._window_scan(CFG, DP, W, rcodes, rpos, mlen, lags, lag_ok)
+    ws = FJ._window_scan(CFG, DP, W, rcodes, rpos, mlen, lags, lag_ok,
+                         z1row=z1row, z2row=z2row)
+    ws = dict(ws, hd1=ws["best_h1"], hd2=ws["best_h2"])
     return cor, lags, lag_ok, ws
 
 
-def _pallas_path(rcodes, rpos, mlen):
+def _pallas_path(rcodes, rpos, mlen, z1row, z2row):
     N = CFG.N
-    tabs = wavefront_tables(CFG, DP, W, rcodes, rpos, mlen, interpret=True)
+    tabs = wavefront_tables(CFG, DP, W, rcodes, rpos, mlen,
+                            z1row=z1row, z2row=z2row, interpret=True)
     lag = jnp.arange(2 * N - 1, dtype=jnp.int32)
     m = mlen[..., None]
     norm = (jnp.minimum(lag, jnp.maximum(2 * m - 2 - lag, 0))
@@ -66,7 +80,7 @@ def _pallas_path(rcodes, rpos, mlen):
     lags, lvals = FJ._top_lags(CFG, cor)
     lag_ok = (lvals > FJ.NEG / 2) & (mlen[:, :, None] >= 2)
     ws = {k: batched_taa(tabs[k], lags)
-          for k in ("max_nb", "max_i", "max_j", "best_sE")}
+          for k in ("max_nb", "max_i", "max_j", "best_sE", "hd1", "hd2")}
     return cor, lags, lag_ok, ws
 
 
@@ -74,8 +88,10 @@ def _pallas_path(rcodes, rpos, mlen):
 def test_wavefront_matches_window_scan(seed):
     rng = np.random.default_rng(seed)
     rcodes, rpos, mlen = _random_regions(rng)
-    c1, l1, lo1, ws1 = jax.jit(_jax_path)(rcodes, rpos, mlen)
-    c2, l2, lo2, ws2 = jax.jit(_pallas_path)(rcodes, rpos, mlen)
+    z1row, z2row = _zrows(rpos)
+    c1, l1, lo1, ws1 = jax.jit(_jax_path)(rcodes, rpos, mlen, z1row, z2row)
+    c2, l2, lo2, ws2 = jax.jit(_pallas_path)(rcodes, rpos, mlen, z1row,
+                                             z2row)
 
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
@@ -84,9 +100,26 @@ def test_wavefront_matches_window_scan(seed):
     # cells the engine ever consumes downstream)
     mask = np.asarray(lo1) & (np.asarray(ws1["max_nb"]) > 0)
     assert mask.any()
-    for key in ("max_nb", "max_i", "max_j", "best_sE"):
+    for key in ("max_nb", "max_i", "max_j", "best_sE", "hd1", "hd2"):
         a, b = np.asarray(ws1[key]), np.asarray(ws2[key])
         np.testing.assert_array_equal(a[mask], b[mask], err_msg=key)
+
+    # hash deltas must equal the brute-force recomputation from the
+    # winning stems: sum over the stem's pairs of Z1[p5](p3+1)+Z1[p3](p5+1)
+    rposn = np.asarray(rpos)
+    i_s = np.asarray(ws1["max_i"])
+    j_s = np.asarray(ws1["max_j"])
+    run = np.asarray(ws1["max_nb"])
+    hd1 = np.asarray(ws1["hd1"]).astype(np.uint32)
+    kk, rr, mm = np.nonzero(mask)
+    for k, r, m in list(zip(kk, rr, mm))[:50]:
+        acc = 0
+        for t in range(run[k, r, m]):
+            p5 = int(rposn[k, r, i_s[k, r, m] - t])
+            p3 = int(rposn[k, r, j_s[k, r, m] + t])
+            acc = (acc + int(_Z1[p5]) * (p3 + 1)
+                   + int(_Z1[p3]) * (p5 + 1)) & 0xFFFFFFFF
+        assert acc == int(hd1[k, r, m]), (k, r, m)
 
 
 def test_wavefront_empty_and_tiny_regions():
@@ -109,12 +142,14 @@ def test_wavefront_empty_and_tiny_regions():
     rpos[1, 0, :2] = [10, 11]
     rcodes[1, 0, :2] = [1, 2]
     mlen[1, 0] = 2
-    args = (jnp.asarray(rcodes), jnp.asarray(rpos), jnp.asarray(mlen))
+    z1row, z2row = _zrows(rpos)
+    args = (jnp.asarray(rcodes), jnp.asarray(rpos), jnp.asarray(mlen),
+            z1row, z2row)
     c1, l1, lo1, ws1 = jax.jit(_jax_path)(*args)
     c2, l2, lo2, ws2 = jax.jit(_pallas_path)(*args)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     mask = np.asarray(lo1) & (np.asarray(ws1["max_nb"]) > 0)
-    for key in ("max_nb", "max_i", "max_j", "best_sE"):
+    for key in ("max_nb", "max_i", "max_j", "best_sE", "hd1", "hd2"):
         a, b = np.asarray(ws1[key]), np.asarray(ws2[key])
         np.testing.assert_array_equal(a[mask], b[mask], err_msg=key)
