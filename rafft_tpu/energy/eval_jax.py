@@ -400,6 +400,7 @@ def analyze_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
     key6 = _kmer_keys(codes, 6)
     key8 = _kmer_keys(codes, 8)
 
+    HI = jax.lax.Precision.HIGHEST
     ii = jnp.arange(N, dtype=jnp.int32)
     valid = ii < n
     is_open = valid & (pt > ii)
@@ -412,34 +413,62 @@ def analyze_pt(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,
     s3v = _sget_vec(codes, jnp.clip(pt, 0, N - 1) + 1, n)
     mls = _ml_stem(dp, t_stem, s5v, s3v)
 
-    # per-position children stats over the [N, N] child-of relation
-    # (masked reductions; no segment_sum/scatter — see eval_pt)
-    chm = is_open[None, :] & (enclose[None, :] == ii[:, None])
-    branches = chm.sum(axis=1).astype(jnp.int32)
-    first_child = jnp.min(jnp.where(chm, ii[None, :], N), axis=1)
-    mlsum = jnp.where(chm, mls[None, :], 0).sum(axis=1)
+    # ---- compact openings to H = N/2+1 lanes (same trick as eval_pt):
+    # the expensive loop-energy gathers (hairpin k-mer chains, two-loop
+    # small2d) and the child-of relation then run on half the lanes;
+    # per-position caches scatter back through the same one-hot.
+    H = N // 2 + 1
+    rank = jnp.cumsum(is_open.astype(jnp.int32)) - 1
+    hh = jnp.arange(H, dtype=jnp.int32)
+    ohp = is_open[None, :] & (rank[None, :] == hh[:, None])        # [H,N]
+    ohpf = ohp.astype(jnp.float32)
+    op_valid = ohp.any(axis=1)
+    op = jnp.where(op_valid,
+                   jnp.max(jnp.where(ohp, ii[None, :], 0), axis=1), N + hh)
 
-    j_o = jnp.clip(pt, 0, N - 1)
-    q = jnp.clip(first_child, 0, N - 1)
+    # children stats per compacted opening over the [H, N] relation
+    chm = (is_open[None, :]
+           & (enclose[None, :] == jnp.where(op_valid, op, -7)[:, None]))
+    branches_h = chm.sum(axis=1).astype(jnp.int32)
+    first_child_h = jnp.min(jnp.where(chm, ii[None, :], N), axis=1)
+    mlsum_h = jnp.where(chm, mls[None, :], 0).sum(axis=1)
+
+    i_o = jnp.where(op_valid, op, 0)
+    opc = jnp.clip(op, 0, N - 1)
+    j_o = jnp.clip(jnp.where(op_valid, flat_lookup(pt, opc), 0), 0, N - 1)
+    q = jnp.clip(first_child_h, 0, N - 1)
     r = jnp.clip(flat_lookup(pt, q), 0, N - 1)
-    hp = _hairpin(dp, codes, n, ii, j_o, key5, key6, key8)
-    il = _int_loop(dp, codes, n, ii, j_o, q, r)
-    tc = _ptype(dp, _sget_vec(codes, j_o, n), _sget_vec(codes, ii, n))
-    ml = (dp.ml_closing + mlsum
+    hp = _hairpin(dp, codes, n, i_o, j_o, key5, key6, key8)
+    il = _int_loop(dp, codes, n, i_o, j_o, q, r)
+    tc = _ptype(dp, _sget_vec(codes, j_o, n), _sget_vec(codes, i_o, n))
+    ml = (dp.ml_closing + mlsum_h
           + _ml_stem(dp, tc, _sget_vec(codes, j_o - 1, n),
-                     _sget_vec(codes, ii + 1, n)))
-    loop_e = jnp.where(branches == 0, hp, jnp.where(branches == 1, il, ml))
-    loop_e = jnp.where(is_open, loop_e, 0)
+                     _sget_vec(codes, i_o + 1, n)))
+    loop_e_h = jnp.where(branches_h == 0, hp,
+                         jnp.where(branches_h == 1, il, ml))
+    loop_e_h = jnp.where(op_valid, loop_e_h, 0)
+    ext_h = _ext_stem(dp, codes, n, i_o, j_o)
 
-    ext = _ext_stem(dp, codes, n, ii, j_o)
-    energy = (jnp.sum(loop_e)
-              + jnp.sum(jnp.where(is_open & (enclose == -1), ext, 0))
+    def scat(xh, fill=0):
+        """[H] per-opening values -> [N] at the opening positions."""
+        out = jnp.einsum('hn,h->n', ohpf, xh.astype(jnp.float32),
+                         precision=HI).astype(jnp.int32)
+        return jnp.where(is_open, out, fill)
+
+    branches = scat(branches_h)
+    first_child = scat(first_child_h, N)
+    mlsum = scat(mlsum_h)
+    loop_e = scat(loop_e_h)
+    ext = scat(ext_h)
+    energy = (jnp.sum(loop_e_h)
+              + jnp.sum(jnp.where(
+                  op_valid & (flat_lookup(enclose, opc) == -1), ext_h, 0))
               ).astype(jnp.int32)
 
     return dict(enclose=enclose, is_open=is_open, branches=branches,
                 first_child=first_child, mlsum=mlsum, loop_e=loop_e,
                 mls=jnp.where(is_open, mls, 0),
-                exts=jnp.where(is_open, ext, 0), energy=energy)
+                exts=ext, energy=energy)
 
 
 def eval_pt_scan(dp: DeviceParams, codes: jnp.ndarray, pt: jnp.ndarray,

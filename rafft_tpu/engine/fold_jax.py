@@ -1036,10 +1036,34 @@ class FoldEngine:
         accept = usable & (dnrj < jnp.float32(cfg.min_nrj))
 
         # ---- per-region candidate order: (dnrj asc, lag-rank asc)
+        # The packed accumulator channels (consumed by the enumeration
+        # below) ride the acceptance sort as payloads, so the
+        # rank-permutation costs no separate [K,R,M,M] one-hot pass.
+        OFF = jnp.int32(1 << 19)
+        uv = lambda x: x.astype(jnp.uint32)
+        iv = lambda x: x.astype(jnp.int32)
+        lin_c = ws["max_j"] - ws["max_i"] - 1
+        i0_c = ws["max_i"] - ws["max_nb"] + 1
+        nlive2 = ((lin_c > 0).astype(jnp.int32)
+                  + ((i0_c > 0) | (ws["max_j"] + ws["max_nb"]
+                                   < mlen[..., None])).astype(jnp.int32))
+        h1lo = iv(uv(ws["hd1"]) & 0xFFFF)
+        h1hi = iv(uv(ws["hd1"]) >> 16)
+        h2lo = iv(uv(ws["hd2"]) & 0xFFFF)
+        h2hi = iv(uv(ws["hd2"]) >> 16)
+        C0 = ((delta + OFF) + nlive2 * (1 << 21)).astype(jnp.float32)
+        C1 = (h1lo + (h1hi & 0xFF) * (1 << 16)).astype(jnp.float32)
+        C2 = (h2lo + (h2hi & 0xFF) * (1 << 16)).astype(jnp.float32)
+        C3 = ((h1hi >> 8) + (h2hi >> 8) * (1 << 8)).astype(jnp.float32)
+
         sort_key = jnp.where(accept, dnrj, jnp.float32(3e38))
-        ordm = jnp.argsort(sort_key, axis=-1, stable=True)
+        iota_m = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32),
+                                  (K, R, M))
+        _, ordm, D0, D1, D2, D3 = jax.lax.sort(
+            (sort_key, iota_m, C0, C1, C2, C3), dimension=-1, num_keys=1,
+            is_stable=True)
         s_r = accept.sum(axis=-1).astype(jnp.int32)            # [K,R]
-        c = _cut_("accept", ordm, s_r, accept)
+        c = _cut_("accept", ordm, s_r, accept, D0, D1, D2, D3)
         if c is not None:
             return c
 
@@ -1074,7 +1098,8 @@ class FoldEngine:
             return cumb + ck, ck
 
         _, combos_k = jax.lax.scan(
-            _alloc, jnp.int32(0), (participating, prod_k, reserved_after))
+            _alloc, jnp.int32(0), (participating, prod_k, reserved_after),
+            unroll=8)
         trunc_k = combos_k < prod_k
         cum = jnp.cumsum(combos_k)
         total = jnp.minimum(cum[-1], V)
@@ -1102,39 +1127,16 @@ class FoldEngine:
         idx_r = (local[:, None] // stride) % szk               # [V,R]
         on_r = row_lookup(part, kvc)                           # [V,R]
 
-        # ---- per-candidate accumulators, packed + rank-permuted
+        # ---- [V]-level pick of the packed per-candidate accumulators
         # The [V]-level only needs ADDITIVE per-candidate quantities
         # (dE, the stem's pair-table hash delta, its live-region count);
         # everything positional (the stem itself, child region order) is
-        # rebuilt after pooling for the K survivors only.  Pack the four
-        # accumulators into 4 exact-f32 channels (all < 2^24), permute
-        # the candidate axis by acceptance rank at [K,R,M] (cheap), and
-        # pick at [V,R] with ONE one-hot contraction over K and one over
-        # the rank axis — this replaces seven [V,R,M]-shaped gathers and
-        # the [V,N] combination pair-table build of the old formulation.
-        OFF = jnp.int32(1 << 19)
-        uv = lambda x: x.astype(jnp.uint32)
-        iv = lambda x: x.astype(jnp.int32)
-        hd1_t = ws["hd1"]
-        hd2_t = ws["hd2"]                                      # [K,R,M] i32
-        lin_c = ws["max_j"] - ws["max_i"] - 1
-        i0_c = ws["max_i"] - ws["max_nb"] + 1
-        nlive2 = ((lin_c > 0).astype(jnp.int32)
-                  + ((i0_c > 0) | (ws["max_j"] + ws["max_nb"]
-                                   < mlen[..., None])).astype(jnp.int32))
-        h1lo = iv(uv(hd1_t) & 0xFFFF)
-        h1hi = iv(uv(hd1_t) >> 16)
-        h2lo = iv(uv(hd2_t) & 0xFFFF)
-        h2hi = iv(uv(hd2_t) >> 16)
-        P4 = jnp.stack([
-            (delta + OFF) + nlive2 * (1 << 21),
-            h1lo + (h1hi & 0xFF) * (1 << 16),
-            h2lo + (h2hi & 0xFF) * (1 << 16),
-            (h1hi >> 8) + (h2hi >> 8) * (1 << 8)], axis=-1)    # [K,R,M,4]
-        ohm = (ordm[..., None] == jnp.arange(M, dtype=jnp.int32)
-               ).astype(jnp.float32)                           # [K,R,M,M]
-        D4 = jnp.einsum('krsm,krmc->krsc', ohm, P4.astype(jnp.float32),
-                        precision=jax.lax.Precision.HIGHEST)
+        # rebuilt after pooling for the K survivors only.  The packed
+        # channels were rank-permuted by the acceptance sort above, so
+        # the pick is ONE one-hot contraction over K and one over the
+        # rank axis — this replaces seven [V,R,M]-shaped gathers and the
+        # [V,N] combination pair-table build of the old formulation.
+        D4 = jnp.stack([D0, D1, D2, D3], axis=-1)              # [K,R,M,4]
         oh_k = (kvc[:, None] == jnp.arange(K, dtype=jnp.int32)
                 ).astype(jnp.float32)                          # [V,K]
         Dv = jnp.einsum('vk,kx->vx', oh_k,
