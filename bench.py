@@ -35,8 +35,9 @@ BASELINE_ART = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "benchmarks", "baseline_cpu.json")
 
 # (bucket N, sample size) — samples sized to keep bench wall-time sane;
-# per-bucket rates are steady-state (compile + warmup excluded)
-BUCKET_SAMPLES = ((64, 32), (128, 256), (256, 16), (512, 8), (1024, 4))
+# per-bucket rates are steady-state (compile + warmup excluded).  No 64
+# bucket: <=64-nt sequences fold at N=128 (sweep.DEFAULT_BUCKETS note)
+BUCKET_SAMPLES = ((128, 256), (256, 16), (512, 8), (1024, 4))
 
 
 def bucket_rate(N, sample, seqs_by_bucket):
@@ -51,7 +52,7 @@ def bucket_rate(N, sample, seqs_by_bucket):
     B = bucket_batch(16, N)
     cfg = EngineConfig(N=N, K=50, M=min(100, 2 * N - 1),
                        R=16 if N <= 512 else 32, max_branch=1000,
-                       V=4096, S=16384)
+                       V=4096, W=8 if N <= 128 else 24, S=16384)
     eng = FoldEngine(cfg, B=B)
     warm = take[:B]
     for _ in eng.run_stream(warm):

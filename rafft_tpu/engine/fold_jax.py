@@ -84,8 +84,7 @@ _CHECK_HASH = False
 _PROFILE_CUT = None
 
 _STAGES = ("analyze", "regions", "corr", "wscan", "cdelta", "cplx_sel",
-           "cplx_pt", "cplx", "accept", "enum_alloc", "enum_pick", "enum",
-           "dedup", "pool", "full")
+           "cplx_pt", "cplx", "accept", "enum", "pool", "full")
 
 
 def _live_mix(vals, done):
@@ -106,7 +105,11 @@ class EngineConfig:
     K: int = 5            # beam width (max_stack)
     R: int = 8            # max regions per structure
     M: int = 100          # lags searched per region (nb_mode)
-    V: int = 256          # combination slots per step per sequence
+    V: int = 256          # combination slots per enumeration window
+    W: int = 8            # max enumeration windows per step (see
+                          # _seq_step: the combo space is walked in
+                          # lexicographic V-slabs until the reference's
+                          # max_branch new-structure cap or exhaustion)
     CPLX: int = 512       # complex-candidate full-eval budget per sequence/step
     S: int = 2048         # seen-set capacity per sequence
     max_steps: int = 24
@@ -749,6 +752,9 @@ class FoldEngine:
     """Compiled batched fold engine for one (config, batch-size) pair."""
 
     def __init__(self, cfg: EngineConfig, B: int):
+        if cfg.V < cfg.K:
+            raise ValueError(f"V={cfg.V} must be >= K={cfg.K} (the "
+                             "window top-K merge gathers K slots)")
         if cfg.M > 2 * cfg.N - 1:
             raise ValueError(
                 f"M={cfg.M} exceeds the {2 * cfg.N - 1} correlation lags "
@@ -1067,7 +1073,21 @@ class FoldEngine:
         if c is not None:
             return c
 
-        # ---- combination enumeration (overflow-safe clamped products)
+        # ---- windowed combination enumeration
+        # The reference walks EVERY parent's full candidate product,
+        # adding each unseen combination to `seen` and counting new
+        # structures toward the max_branch cap (rafft.py:178-203); the
+        # post-cap quirk processes exactly the FIRST combo of each later
+        # parent.  A single fixed window cannot reproduce that when the
+        # product space is duplicate-heavy (the round-4/5 fallback
+        # histograms put ~100% of CPU fallbacks on window truncation in
+        # the 256+ buckets), so the combo space is walked in
+        # lexicographic V-slabs under a lax.while_loop: the seen-set
+        # insertion between windows makes cross-window dedup exact, a
+        # running top-K beam of new structures carries forward, and the
+        # loop exits at the cap (reference semantics, bit-exact) or
+        # after exhausting the (clamped) products.  Only if W windows
+        # were not enough does the sequence flag for the CPU fallback.
         part = (s_r > 0)
         sz = jnp.where(part, s_r, 1)
         CLAMP = jnp.int32(1 << 20)
@@ -1075,214 +1095,284 @@ class FoldEngine:
         for r in range(R):
             prod_k = jnp.minimum(prod_k * sz[:, r], CLAMP)
         prod_k = jnp.where(part.any(axis=-1), prod_k, 0)
-        # Slot allocation over the V-window: every participating parent
-        # is guaranteed its FIRST combo (the reference's post-cap quirk
-        # processes exactly that one for parents after the cap), then
-        # earlier parents take the remaining window in order.  A parent
-        # whose true product got cut short is "truncated" (only harmful
-        # if the reference would still have walked that region — see
-        # suspect below).
         participating = prod_k > 0
-        nsuffix = jnp.cumsum(participating[::-1].astype(jnp.int32))[::-1]
-        reserved_after = nsuffix - participating.astype(jnp.int32)
+        Pk = jnp.cumsum(prod_k)                                # [K]
+        first_start = Pk - prod_k                              # [K]
+        total_combos = Pk[-1]
 
-        # sequential dependence (each parent's budget is what earlier
-        # parents left over) as a K-trip scan: a Python loop here would
-        # unroll K scalar subgraphs and blow up compile time in K (the
-        # round-4 K=200 pathology)
-        def _alloc(cumb, inp):
-            p_k, prod, resv = inp
-            budget = jnp.maximum(V - cumb - resv, 1)
-            ck = jnp.minimum(prod, budget)
-            ck = jnp.where(p_k, jnp.maximum(ck, 1), 0)
-            return cumb + ck, ck
-
-        _, combos_k = jax.lax.scan(
-            _alloc, jnp.int32(0), (participating, prod_k, reserved_after),
-            unroll=8)
-        trunc_k = combos_k < prod_k
-        cum = jnp.cumsum(combos_k)
-        total = jnp.minimum(cum[-1], V)
-
-        v = jnp.arange(V, dtype=jnp.int32)
-        kv = jnp.searchsorted(cum, v, side="right").astype(jnp.int32)
-        kvc = jnp.clip(kv, 0, K - 1)
-        local = v - jnp.where(kv > 0, cum[jnp.clip(kv - 1, 0, K - 1)], 0)
-        v_ok = (v < total) & ~done
-
-        c = _cut_("enum_alloc", kvc, local, v_ok, combos_k)
-        if c is not None:
-            return c
-
-        szk = row_lookup(sz, kvc)                              # [V,R]
-        # stride_r = prod of sizes after r (last region varies fastest);
-        # clamped iterative product avoids int32 overflow — any stride
-        # > V only ever divides local < V, so the clamp is lossless
-        stride_cols = []
-        acc = jnp.ones((V,), jnp.int32)
-        for r in range(R - 1, -1, -1):
-            stride_cols.append(acc)
-            acc = jnp.minimum(acc * szk[:, r], CLAMP)
-        stride = jnp.stack(stride_cols[::-1], axis=-1)         # [V,R]
-        idx_r = (local[:, None] // stride) % szk               # [V,R]
-        on_r = row_lookup(part, kvc)                           # [V,R]
-
-        # ---- [V]-level pick of the packed per-candidate accumulators
-        # The [V]-level only needs ADDITIVE per-candidate quantities
-        # (dE, the stem's pair-table hash delta, its live-region count);
-        # everything positional (the stem itself, child region order) is
-        # rebuilt after pooling for the K survivors only.  The packed
-        # channels were rank-permuted by the acceptance sort above, so
-        # the pick is ONE one-hot contraction over K and one over the
-        # rank axis — this replaces seven [V,R,M]-shaped gathers and the
-        # [V,N] combination pair-table build of the old formulation.
-        D4 = jnp.stack([D0, D1, D2, D3], axis=-1)              # [K,R,M,4]
-        oh_k = (kvc[:, None] == jnp.arange(K, dtype=jnp.int32)
-                ).astype(jnp.float32)                          # [V,K]
-        Dv = jnp.einsum('vk,kx->vx', oh_k,
-                        D4.reshape(K, R * M * 4),
-                        precision=jax.lax.Precision.HIGHEST
-                        ).reshape(V, R, M, 4)
-        ohs = (idx_r[..., None] == jnp.arange(M, dtype=jnp.int32)
-               ).astype(jnp.float32)                           # [V,R,M]
-        picked = jnp.einsum('vrs,vrsc->vrc', ohs, Dv,
-                            precision=jax.lax.Precision.HIGHEST)
-        pc = picked.astype(jnp.int32)                          # [V,R,4]
-        d_nlive = pc[..., 0] >> 21
-        d_delta = (pc[..., 0] & ((1 << 21) - 1)) - OFF
-        d_h1 = iv((uv(pc[..., 1]) & 0xFFFF)
-                  | ((uv(pc[..., 1]) >> 16) << 16)
-                  | ((uv(pc[..., 3]) & 0xFF) << 24))
-        d_h2 = iv((uv(pc[..., 2]) & 0xFFFF)
-                  | (((uv(pc[..., 2]) >> 16) & 0xFF) << 16)
-                  | ((uv(pc[..., 3]) >> 8) << 24))
-        c = _cut_("enum_pick", d_delta, d_h1, d_h2, d_nlive, on_r)
-        if c is not None:
-            return c
-
-        new_E = row_lookup(energy, kvc) \
-            + jnp.where(on_r, d_delta, 0).sum(axis=-1)
-        # a combo with more live regions than R slots would silently drop
-        # regions (and with them future candidates); flag it so the
-        # sweep's CPU-parity fallback fires (region semantics of the
-        # reference's node_list, rafft/utils.py:141-152)
-        r_over = jnp.where(on_r, d_nlive, 0).sum(axis=-1) > R  # [V]
-
-        # combination hashes compose additively from the parents' hashes
-        # and the chosen stems' deltas (uint32 mod-2^32 arithmetic) —
-        # exactly _hash() of the combination pair table, never built
         ph1, ph2 = self._hash(pt)                              # [K] u32
         PH = jnp.stack([iv(ph1 & 0xFFFF), iv(ph1 >> 16),
                         iv(ph2 & 0xFFFF), iv(ph2 >> 16)], axis=-1)
-        phv = row_lookup(PH, kvc)                              # [V,4]
-        hsum1 = jnp.where(on_r, d_h1, 0).astype(jnp.uint32).sum(axis=-1)
-        hsum2 = jnp.where(on_r, d_h2, 0).astype(jnp.uint32).sum(axis=-1)
-        h1 = (uv(phv[..., 0]) | (uv(phv[..., 1]) << 16)) + hsum1
-        h2 = (uv(phv[..., 2]) | (uv(phv[..., 3]) << 16)) + hsum2
+        D4 = jnp.stack([D0, D1, D2, D3], axis=-1)              # [K,R,M,4]
+        kk_i = jnp.arange(K, dtype=jnp.int32)
+        v = jnp.arange(V, dtype=jnp.int32)
+        INFE = jnp.int32(2**30)
+        M_NORM, M_FIRST, M_DONE = jnp.int32(0), jnp.int32(1), jnp.int32(2)
 
-        if _CHECK_HASH:
-            # debug/test mode: rebuild every combination pair table the
-            # pre-incremental way and verify the composed hashes match
-            cand_m = batched_taa(row_lookup(ordm, kvc),
-                                 idx_r[..., None])[..., 0]     # [V,R]
-            ch_i_f = batched_taa(row_lookup(ws["max_i"], kvc),
-                                 cand_m[..., None])[..., 0]
-            ch_j_f = batched_taa(row_lookup(ws["max_j"], kvc),
-                                 cand_m[..., None])[..., 0]
-            ch_r_f = batched_taa(row_lookup(ws["max_nb"], kvc),
-                                 cand_m[..., None])[..., 0]
-            pt_full = _combo_pt(cfg, row_lookup(pt, kvc),
-                                row_lookup(rloc, kvc),
-                                row_lookup(rslot, kvc),
-                                row_lookup(rpos, kvc),
-                                ch_i_f, ch_j_f, ch_r_f, on_r)
-            fh1, fh2 = self._hash(pt_full)
-            mism = (v_ok & ((fh1 != h1) | (fh2 != h2))).sum()
-            enum_suspect = enum_suspect | jnp.where(mism > 0, FLAG_HASH, 0)
+        def _window(carry):
+            (win, mode, base, nb, kcap, s_h1, s_h2, s_cnt,
+             bm_valid, bm_E, bm_tie, bm_kv, bm_idx, bm_on, bm_h1, bm_h2,
+             susr, suss, mism) = carry
+            g = base + v
+            kv = jnp.searchsorted(Pk, g, side="right").astype(jnp.int32)
+            kvc = jnp.clip(kv, 0, K - 1)
+            local = g - jnp.where(kv > 0,
+                                  Pk[jnp.clip(kv - 1, 0, K - 1)], 0)
+            v_ok = (g < total_combos) & ~done
 
-        c = _cut_("enum", new_E, h1, h2, r_over)
-        if c is not None:
-            return c
+            szk = row_lookup(sz, kvc)                          # [V,R]
+            # stride_r = prod of sizes after r (last region varies
+            # fastest); clamped iterative product — local < prod <=
+            # CLAMP, and any clamped stride >= CLAMP > local divides to
+            # 0, so the clamp is lossless
+            stride_cols = []
+            acc = jnp.ones((V,), jnp.int32)
+            for r in range(R - 1, -1, -1):
+                stride_cols.append(acc)
+                acc = jnp.minimum(acc * szk[:, r], CLAMP)
+            stride = jnp.stack(stride_cols[::-1], axis=-1)     # [V,R]
+            idx_r = (local[:, None] // stride) % szk           # [V,R]
+            on_r = row_lookup(part, kvc)                       # [V,R]
 
-        # ---- dedup + the reference's nb_branch cap semantics
-        # (rafft.py:195-203: the counter counts NEW structures globally,
-        # the cap check runs after each processed combo, and `break` only
-        # exits the current parent's product loop — so after the cap each
-        # later parent still processes exactly its FIRST combo)
-        sc = jnp.arange(cfg.S) < seen_cnt
-        in_seen = ((h1[:, None] == seen_h1[None, :])
-                   & (h2[:, None] == seen_h2[None, :])
-                   & sc[None, :]).any(axis=-1)
+            # [V]-level pick of the packed per-candidate accumulators:
+            # additive quantities only (dE, hash delta, live-region
+            # count); the stems themselves are rebuilt post-pool for
+            # survivors.  One one-hot contraction over K, one over the
+            # (acceptance-sorted) rank axis.
+            oh_k = (kvc[:, None] == kk_i).astype(jnp.float32)  # [V,K]
+            Dv = jnp.einsum('vk,kx->vx', oh_k,
+                            D4.reshape(K, R * M * 4),
+                            precision=jax.lax.Precision.HIGHEST
+                            ).reshape(V, R, M, 4)
+            ohs = (idx_r[..., None] == jnp.arange(M, dtype=jnp.int32)
+                   ).astype(jnp.float32)                       # [V,R,M]
+            picked = jnp.einsum('vrs,vrsc->vrc', ohs, Dv,
+                                precision=jax.lax.Precision.HIGHEST)
+            pc = picked.astype(jnp.int32)                      # [V,R,4]
+            d_nlive = pc[..., 0] >> 21
+            d_delta = (pc[..., 0] & ((1 << 21) - 1)) - OFF
+            d_h1 = iv((uv(pc[..., 1]) & 0xFFFF)
+                      | ((uv(pc[..., 1]) >> 16) << 16)
+                      | ((uv(pc[..., 3]) & 0xFF) << 24))
+            d_h2 = iv((uv(pc[..., 2]) & 0xFFFF)
+                      | (((uv(pc[..., 2]) >> 16) & 0xFF) << 16)
+                      | ((uv(pc[..., 3]) >> 8) << 24))
 
-        def first_occurrence(proc):
-            # first slot (by enumeration order) of each distinct hash
-            # among `proc` slots
-            ordh = jnp.lexsort((v, (~proc).astype(jnp.int32), h1, h2))
-            h1s = h1[ordh]
-            h2s = h2[ordh]
-            first_s = jnp.concatenate([
-                jnp.array([True]),
-                (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])])
-            return jnp.zeros(V, bool).at[ordh].set(first_s) & proc
+            new_E = row_lookup(energy, kvc) \
+                + jnp.where(on_r, d_delta, 0).sum(axis=-1)
+            # a combo with more live regions than R slots would silently
+            # drop regions; flag for the CPU-parity fallback
+            r_over = jnp.where(on_r, d_nlive, 0).sum(axis=-1) > R
 
-        # pass 1: find where nb_branch reaches max_branch (the prefix up
-        # to that combo is processed unconditionally, so dedup over the
-        # full enumeration is valid there)
-        new1 = v_ok & first_occurrence(v_ok) & ~in_seen
-        nb1 = jnp.cumsum(new1.astype(jnp.int32))
-        capped = nb1[-1] >= cfg.max_branch
-        at_cap = new1 & (nb1 == cfg.max_branch)
-        cap_v = jnp.where(capped, jnp.argmax(at_cap).astype(jnp.int32),
-                          jnp.int32(V))
-        kcap = kv[jnp.clip(cap_v, 0, V - 1)]
+            # combination hashes compose additively from the parent's
+            # hash + chosen stem deltas (uint32 mod 2^32) — exactly
+            # _hash() of the combination pair table, never built
+            phv = row_lookup(PH, kvc)                          # [V,4]
+            hsum1 = jnp.where(on_r, d_h1, 0).astype(jnp.uint32).sum(-1)
+            hsum2 = jnp.where(on_r, d_h2, 0).astype(jnp.uint32).sum(-1)
+            h1 = (uv(phv[..., 0]) | (uv(phv[..., 1]) << 16)) + hsum1
+            h2 = (uv(phv[..., 2]) | (uv(phv[..., 3]) << 16)) + hsum2
 
-        # pass 2: the processed set (prefix + first-combo of later
-        # parents), re-deduplicated among itself
-        processed = v_ok & jnp.where(
-            capped, (v <= cap_v) | ((kv > kcap) & (local == 0)), True)
-        newmask = first_occurrence(processed) & ~in_seen
-        rank = jnp.cumsum(newmask.astype(jnp.int32)) - 1
-        c = _cut_("dedup", newmask, rank, processed)
-        if c is not None:
-            return c
+            if _CHECK_HASH:
+                # debug/test mode: rebuild every combination pair table
+                # the positional way, verify the composed hashes match
+                cand_m = batched_taa(row_lookup(ordm, kvc),
+                                     idx_r[..., None])[..., 0]
+                ch_i_f = batched_taa(row_lookup(ws["max_i"], kvc),
+                                     cand_m[..., None])[..., 0]
+                ch_j_f = batched_taa(row_lookup(ws["max_j"], kvc),
+                                     cand_m[..., None])[..., 0]
+                ch_r_f = batched_taa(row_lookup(ws["max_nb"], kvc),
+                                     cand_m[..., None])[..., 0]
+                pt_full = _combo_pt(cfg, row_lookup(pt, kvc),
+                                    row_lookup(rloc, kvc),
+                                    row_lookup(rslot, kvc),
+                                    row_lookup(rpos, kvc),
+                                    ch_i_f, ch_j_f, ch_r_f, on_r)
+                fh1, fh2 = self._hash(pt_full)
+                mism = mism + (v_ok & ((fh1 != h1) | (fh2 != h2))).sum()
+
+            # dedup within the window (cross-window dups are caught by
+            # the seen-set, which every window's new structures entered)
+            sc = jnp.arange(cfg.S) < s_cnt
+            in_seen = ((h1[:, None] == s_h1[None, :])
+                       & (h2[:, None] == s_h2[None, :])
+                       & sc[None, :]).any(axis=-1)
+
+            def first_occurrence(proc):
+                ordh = jnp.lexsort((v, (~proc).astype(jnp.int32), h1, h2))
+                h1s = h1[ordh]
+                h2s = h2[ordh]
+                first_s = jnp.concatenate([
+                    jnp.array([True]),
+                    (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])])
+                return jnp.zeros(V, bool).at[ordh].set(first_s) & proc
+
+            # pass 1: locate the max_branch cap within this window (the
+            # prefix is processed unconditionally, so dedup over the
+            # full window is valid there)
+            new1 = v_ok & first_occurrence(v_ok) & ~in_seen
+            nb1 = nb + jnp.cumsum(new1.astype(jnp.int32))
+            capped_now = nb1[-1] >= cfg.max_branch
+            at_cap = new1 & (nb1 == cfg.max_branch)
+            cap_v = jnp.where(capped_now,
+                              jnp.argmax(at_cap).astype(jnp.int32),
+                              jnp.int32(V))
+            kcap_new = jnp.where(capped_now, kv[jnp.clip(cap_v, 0, V - 1)],
+                                 kcap)
+
+            # pass 2: the processed set (prefix + the post-cap
+            # first-combo of every later parent that falls inside this
+            # window — the reference's rafft.py:195-203 quirk),
+            # re-deduplicated among itself
+            processed = v_ok & jnp.where(
+                capped_now,
+                (v <= cap_v) | ((kv > kcap_new) & (local == 0)), True)
+            newmask = first_occurrence(processed) & ~in_seen
+            rank = jnp.cumsum(newmask.astype(jnp.int32)) - 1
+            nb_out = nb + newmask.sum()
+
+            susr = susr | (r_over & newmask).any()
+
+            # insert into seen (capacity overflow voids dedup exactness)
+            slot = jnp.where(newmask, s_cnt + rank, cfg.S - 1)
+            s_h1 = s_h1.at[slot].set(jnp.where(newmask, h1, s_h1[slot]))
+            s_h2 = s_h2.at[slot].set(jnp.where(newmask, h2, s_h2[slot]))
+            s_cnt_new = s_cnt + newmask.sum()
+            suss = suss | (s_cnt_new > cfg.S - 1)
+            s_cnt = jnp.minimum(s_cnt_new, cfg.S - 1)
+
+            # window top-K of new structures -> merge into running beam
+            wE = jnp.where(newmask, new_E, INFE)
+            ord_w = jnp.lexsort((v, wE))[: K]
+            cat = lambda a, b: jnp.concatenate([a, b])
+            E2 = cat(bm_E, wE[ord_w])
+            tie2 = cat(bm_tie, g[ord_w])
+            ord2 = jnp.lexsort((tie2, E2))[: K]
+            bm_E = E2[ord2]
+            bm_tie = tie2[ord2]
+            bm_valid = cat(bm_valid, newmask[ord_w])[ord2]
+            bm_kv = cat(bm_kv, kvc[ord_w])[ord2]
+            bm_idx = cat(bm_idx, idx_r[ord_w])[ord2]
+            bm_on = cat(bm_on, on_r[ord_w])[ord2]
+            bm_h1 = cat(bm_h1, h1[ord_w])[ord2]
+            bm_h2 = cat(bm_h2, h2[ord_w])[ord2]
+
+            exhausted = base + V >= total_combos
+            # M_FIRST = some later parent's first combo lies beyond this
+            # window's end (in-window post-cap first-combos were fused
+            # into the processed set above); handled by the [K]-wide
+            # post-loop pass instead of a whole extra [V] window
+            need_first = capped_now & (
+                participating & (kk_i > kcap_new)
+                & (first_start >= base + V)).any()
+            mode = jnp.where(capped_now,
+                             jnp.where(need_first, M_FIRST, M_DONE),
+                             jnp.where(exhausted, M_DONE, M_NORM))
+            base = jnp.where(mode == M_NORM, base + V, base)
+            return (win + 1, mode, base, nb_out, kcap_new, s_h1, s_h2,
+                    s_cnt, bm_valid, bm_E, bm_tie, bm_kv, bm_idx, bm_on,
+                    bm_h1, bm_h2, susr, suss, mism)
+
+        def _wcond(carry):
+            win, mode = carry[0], carry[1]
+            return (win < cfg.W) & (mode == M_NORM) & ~done
+
+        init = (jnp.int32(0), M_NORM, jnp.int32(0), jnp.int32(0),
+                jnp.int32(K), seen_h1, seen_h2, seen_cnt,
+                jnp.zeros(K, bool), jnp.full(K, INFE), jnp.zeros(K, jnp.int32),
+                jnp.zeros(K, jnp.int32), jnp.zeros((K, R), jnp.int32),
+                jnp.zeros((K, R), bool), jnp.zeros(K, jnp.uint32),
+                jnp.zeros(K, jnp.uint32), jnp.zeros((), bool),
+                jnp.zeros((), bool), jnp.zeros((), jnp.int32))
+        (wn, mode_f, _b, _nb, _kc, seen_h1, seen_h2, seen_cnt,
+         bm_valid, bm_E, bm_tie, bm_kv, bm_idx, bm_on, bm_h1, bm_h2,
+         susr, suss, mism_f) = jax.lax.while_loop(_wcond, _window, init)
+
+        # ---- post-cap first combos beyond the last window: at most K-1
+        # of them (rank-0 in every region), processed here at [K] width
+        # instead of paying a whole [V] window for them
+        f_ok = ((mode_f == M_FIRST) & participating & (kk_i > _kc)
+                & (first_start >= _b + V) & ~done)
+        pc0 = D4[:, :, 0, :].astype(jnp.int32)                 # [K,R,4]
+        f_nlive = pc0[..., 0] >> 21
+        f_delta = (pc0[..., 0] & ((1 << 21) - 1)) - OFF
+        f_h1d = iv((uv(pc0[..., 1]) & 0xFFFF)
+                   | ((uv(pc0[..., 1]) >> 16) << 16)
+                   | ((uv(pc0[..., 3]) & 0xFF) << 24))
+        f_h2d = iv((uv(pc0[..., 2]) & 0xFFFF)
+                   | (((uv(pc0[..., 2]) >> 16) & 0xFF) << 16)
+                   | ((uv(pc0[..., 3]) >> 8) << 24))
+        fE = energy + jnp.where(part, f_delta, 0).sum(axis=-1)
+        fh1 = ph1 + jnp.where(part, f_h1d, 0).astype(jnp.uint32).sum(-1)
+        fh2 = ph2 + jnp.where(part, f_h2d, 0).astype(jnp.uint32).sum(-1)
+        f_rover = jnp.where(part, f_nlive, 0).sum(axis=-1) > R
+        fsc = jnp.arange(cfg.S) < seen_cnt
+        f_inseen = ((fh1[:, None] == seen_h1[None, :])
+                    & (fh2[:, None] == seen_h2[None, :])
+                    & fsc[None, :]).any(axis=-1)
+        ordf = jnp.lexsort((kk_i, (~f_ok).astype(jnp.int32), fh1, fh2))
+        fh1s = fh1[ordf]
+        fh2s = fh2[ordf]
+        ffirst = jnp.concatenate([
+            jnp.array([True]),
+            (fh1s[1:] != fh1s[:-1]) | (fh2s[1:] != fh2s[:-1])])
+        f_new = (jnp.zeros(K, bool).at[ordf].set(ffirst) & f_ok
+                 & ~f_inseen)
+        f_rank = jnp.cumsum(f_new.astype(jnp.int32)) - 1
+        fslot = jnp.where(f_new, seen_cnt + f_rank, cfg.S - 1)
+        seen_h1 = seen_h1.at[fslot].set(
+            jnp.where(f_new, fh1, seen_h1[fslot]))
+        seen_h2 = seen_h2.at[fslot].set(
+            jnp.where(f_new, fh2, seen_h2[fslot]))
+        f_cnt = seen_cnt + f_new.sum()
+        suss = suss | (f_cnt > cfg.S - 1)
+        seen_cnt = jnp.minimum(f_cnt, cfg.S - 1)
+        susr = susr | (f_rover & f_new).any()
+        fE_m = jnp.where(f_new, fE, INFE)
+        E2f = jnp.concatenate([bm_E, fE_m])
+        tie2f = jnp.concatenate([bm_tie, first_start])
+        ord2f = jnp.lexsort((tie2f, E2f))[: K]
+        bm_E = E2f[ord2f]
+        bm_tie = tie2f[ord2f]
+        bm_valid = jnp.concatenate([bm_valid, f_new])[ord2f]
+        bm_kv = jnp.concatenate([bm_kv, kk_i])[ord2f]
+        bm_idx = jnp.concatenate(
+            [bm_idx, jnp.zeros((K, R), jnp.int32)])[ord2f]
+        bm_on = jnp.concatenate([bm_on, jnp.broadcast_to(part, (K, R))]
+                                )[ord2f]
+        bm_h1 = jnp.concatenate([bm_h1, fh1])[ord2f]
+        bm_h2 = jnp.concatenate([bm_h2, fh2])[ord2f]
 
         # exactness flags, one bit per cause so the sweep can histogram
-        # WHICH budget tripped (FLAG_* constants below):
-        # would the reference have enumerated combos we never built?
-        suspect_v = jnp.where(
-            capped,
-            (trunc_k & (jnp.arange(K, dtype=jnp.int32) <= kcap)).any(),
-            trunc_k.any()) & ~done
-        # ... or kept regions we had no slot for?
-        suspect_r = (r_over & newmask).any()
-
-        # insert into seen (capacity overflow voids dedup exactness ->
-        # flag the sequence for the CPU-parity fallback)
-        slot = jnp.where(newmask, seen_cnt + rank, cfg.S - 1)
-        seen_h1 = seen_h1.at[slot].set(jnp.where(newmask, h1, seen_h1[slot]))
-        seen_h2 = seen_h2.at[slot].set(jnp.where(newmask, h2, seen_h2[slot]))
-        new_cnt = seen_cnt + newmask.sum()
-        suspect_s = new_cnt > cfg.S - 1
-        seen_cnt = jnp.minimum(new_cnt, cfg.S - 1)
+        # WHICH budget tripped: v_window now only fires when W windows
+        # could not reach the cap / exhaustion (was: any truncation)
+        suspect_v = (mode_f == M_NORM) & ~done
         bits = (jnp.where(suspect_v, FLAG_VWINDOW, 0)
-                | jnp.where(suspect_r, FLAG_RSLOTS, 0)
-                | jnp.where(suspect_s, FLAG_SEEN, 0))
+                | jnp.where(susr, FLAG_RSLOTS, 0)
+                | jnp.where(suss, FLAG_SEEN, 0))
+        if _CHECK_HASH:
+            bits = bits | jnp.where(mism_f > 0, FLAG_HASH, 0)
+
+        c = _cut_("enum", bm_E, bm_tie, bm_h1, bits)
+        if c is not None:
+            return c
 
         # ---- pool (new before old on ties) and truncate to K
-        INFE = jnp.int32(2**30)
-        pool_E = jnp.concatenate([jnp.where(newmask, new_E, INFE),
+        TBIG = jnp.int32(1 << 28)
+        pool_E = jnp.concatenate([jnp.where(bm_valid, bm_E, INFE),
                                   jnp.where(active, energy, INFE)])
-        tie = jnp.concatenate([v, V + jnp.arange(K, dtype=jnp.int32)])
+        tie = jnp.concatenate([bm_tie, TBIG + jnp.arange(K, dtype=jnp.int32)])
         order_p = jnp.lexsort((tie, pool_E))[: K]
-        sel_new = order_p < V
-        src_new = jnp.clip(order_p, 0, V - 1)
-        src_old = jnp.clip(order_p - V, 0, K - 1)
+        sel_new = order_p < K
+        src_new = jnp.clip(order_p, 0, K - 1)
+        src_old = jnp.clip(order_p - K, 0, K - 1)
 
         # ---- rebuild the K survivors' pair tables + child region order
         # (deferred from the [V] level: only pooled slots need them)
-        kv_sel = kvc[src_new]                                  # [K]
-        idx_sel = idx_r[src_new]                               # [K,R]
-        on_sel = on_r[src_new]
+        kv_sel = bm_kv[src_new]                                # [K]
+        idx_sel = bm_idx[src_new]                              # [K,R]
+        on_sel = bm_on[src_new]
         cand_sel = batched_taa(row_lookup(ordm, kv_sel),
                                idx_sel[..., None])[..., 0]     # [K,R]
 
@@ -1316,13 +1406,13 @@ class FoldEngine:
         new_ror_s = batched_taa(lab2, take)
 
         beam_pt = jnp.where(sel_new[:, None], new_pt_s, pt[src_old])
-        beam_E = jnp.where(sel_new, new_E[src_new], energy[src_old])
-        beam_act = jnp.where(sel_new, newmask[src_new], active[src_old])
+        beam_E = jnp.where(sel_new, bm_E[src_new], energy[src_old])
+        beam_act = jnp.where(sel_new, bm_valid[src_new], active[src_old])
         beam_ror = jnp.where(sel_new[:, None], new_ror_s,
                              rorder[src_old])
 
         # fixed-point check on composed hashes (== _hash of the tables)
-        bh1 = jnp.where(sel_new, h1[src_new], ph1[src_old])
+        bh1 = jnp.where(sel_new, bm_h1[src_new], ph1[src_old])
         unchanged = jnp.all((bh1 == ph1) & (beam_act == active)
                             | (~beam_act & ~active))
         new_done = done | unchanged

@@ -27,7 +27,11 @@ import time
 
 import numpy as np
 
-DEFAULT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+# no 64 bucket: N=64 is below the Pallas wavefront kernel's lane
+# alignment (N % 128), so it would fall back to the Hankel-stack window
+# scan — measurably SLOWER than folding short sequences at N=128 (20.1
+# vs 23.0 seq/s, bench_full.md r5) and memory-explosive at K=200
+DEFAULT_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
 
 # engine exactness-flag bits -> cause names (fold_jax.FLAG_*)
 FLAG_NAMES = {1: "v_window", 2: "r_slots", 4: "seen_set", 8: "hash_check",
@@ -146,6 +150,7 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
                                   pvv=ppv_bk, sens=sens_bk)
 
         n_done = 0
+        flag_of: dict[int, int] = {}   # original flag bits per refold row
         pending = []   # flagged sequences: exactness escape hatch — the
         # engine flags folds whose combination-enumeration window /
         # complex-candidate budget / seen-set capacity could not
@@ -163,10 +168,21 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
             # a region of padded length N has at most 2N-1 correlation
             # lags, so top-M lag selection saturates there (the reference
             # just takes every lag when nb_mode exceeds them)
+            #
+            # combination windows: long sequences carry more regions and
+            # more accepted candidates per region, so their per-step
+            # combination products are duplicate-heavy and overflow any
+            # single window long before the reference's max_branch
+            # new-structure cap — the round-4/round-5 flag histograms
+            # put ~100% of CPU fallbacks on v_window truncation in the
+            # 256+ buckets while the 128 bucket never trips.  The engine
+            # walks the combo space in V-slabs (fold_jax windowed
+            # enumeration); long buckets get a deeper window budget.
             cfg = EngineConfig(N=N, K=max_stack,
                                M=min(nb_mode, 2 * N - 1), R=R,
-                               max_branch=max_branch,
-                               V=min(8192, max(256, 4 * max_branch)),
+                               max_branch=max_branch, V=4096,
+                               W=8 if N <= 128 else 24,
+                               CPLX=512 if N <= 128 else 1024,
                                S=max(16384, 32 * max_stack))
             eng = FoldEngine(cfg, B=bucket_batch(batch, N))
             # device-side continuous batching: the chip swaps finished
@@ -185,6 +201,7 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
                         if int(flagged) & bit:
                             flag_hist[cause] = flag_hist.get(cause, 0) + 1
                     i = idxs[local_i]
+                    flag_of[i] = int(flagged)
                     pending.append((i, records[i][0], nb_mode, max_stack,
                                     max_branch))
                 else:
@@ -200,7 +217,8 @@ def sweep(records, nb_mode=100, max_stack=50, max_branch=1000,
             ctx = mp.get_context("forkserver")
             with ctx.Pool(min(len(pending), workers)) as pool:
                 for i, rows in pool.imap_unordered(_cpu_refold, pending):
-                    finish(i, rows, engine != "cpu")
+                    finish(i, rows, flag_of.get(i, 0)
+                           if engine != "cpu" else 0)
                     n_done += 1
                     if progress and engine == "cpu":
                         progress(N, n_done, len(idxs))

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 
 CORPUS = "/root/reference/benchmark_results/benchmark_cleaned_all_length.csv"
-DEFAULT_CELLS = "64:50,128:50,256:50,512:50,64:200,128:200,256:200,512:200"
+DEFAULT_CELLS = "128:50,256:50,512:50,128:200,256:200,512:200"
 
 
 def measure_cell(N, K, steps=4):
